@@ -1,0 +1,106 @@
+"""The simulation step: TPU-native `World::step`.
+
+Replicates the reference's canonical op order exactly
+(`dart/simulation/World.cpp:~100-200` †, SURVEY.md §3.2):
+
+  1. smooth forward dynamics (implicit spring/damping)      [ABA/CRB]
+  2. integrate velocities        dq* = dq + dt * ddq
+  3. collision detection at the *current* positions
+  4. constraint solve (contacts + joint limits) -> impulses -> dq+
+  5. integrate positions with dq+ (exp-map for ball/free joints)
+  6. time += dt
+
+but as ONE pure jittable function per model — zero host crossings per step
+(the reference pays ~2 Python->SWIG->C++ crossings per substep, §3.2).
+Batching: `jax.vmap(step)`; sharding: shard_map over the env mesh
+(dartenv_tpu.parallel).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dartenv_tpu.collision.narrowphase import Contacts, collide
+from dartenv_tpu.dynamics.algorithms import fk, forward_dynamics_crb
+from dartenv_tpu.dynamics.joints import integrate_joint_position
+from dartenv_tpu.engine.constraints import build_layout, solve_constraints
+from dartenv_tpu.model.skel_model import SkelModel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimState:
+    """Full simulation state — the reference's checkpoint primitive is
+    exactly (q, dq) (`state_vector()` †, SURVEY.md §5.4); as a pytree it is
+    trivially checkpointable and vmappable."""
+
+    q: Any
+    dq: Any
+    time: Any
+
+    def state_vector(self):
+        """concat(q, dq) — parity with DartEnv.state_vector() †."""
+        return jnp.concatenate([self.q, self.dq], axis=-1)
+
+
+def init_state(model: SkelModel, dtype=None) -> SimState:
+    q = model.q_init if dtype is None else model.q_init.astype(dtype)
+    dq = model.dq_init if dtype is None else model.dq_init.astype(dtype)
+    return SimState(q=q, dq=dq, time=jnp.zeros((), dtype=q.dtype))
+
+
+def integrate_positions(model: SkelModel, q, dq, dt):
+    out = []
+    for i in range(model.nb):
+        a, b = model.q_start[i], model.q_start[i] + model.ndof[i]
+        if b == a:
+            continue
+        out.append(
+            integrate_joint_position(model.joint_type[i], q[a:b], dq[a:b], dt)
+        )
+    return jnp.concatenate(out) if out else q
+
+
+def make_sim_step(model: SkelModel) -> Callable:
+    """Build the single-substep function for a model.
+
+    Returns step(state, tau, f_ext_world=None) -> (state', Contacts).
+    `tau` is the full-dof generalized force vector (root dofs zeroed by the
+    env layer, matching the reference's set_forces semantics †).
+    """
+    layout = build_layout(model)
+    dt = model.dt
+
+    def step(state: SimState, tau, f_ext_world=None):
+        q, dq = state.q, state.dq
+        kin = fk(model, q, dq)
+        ddq, M = forward_dynamics_crb(model, kin, q, dq, tau, dt,
+                                      f_ext_world)
+        dq_star = dq + dt * ddq
+        contacts = collide(model, kin.R_w, kin.p_w)
+        dq_plus, _lam = solve_constraints(
+            model, layout, kin, M, q, dq, dq_star, contacts, dt
+        )
+        q_new = integrate_positions(model, q, dq_plus, dt)
+        return SimState(q=q_new, dq=dq_plus, time=state.time + dt), contacts
+
+    return step
+
+
+def make_do_simulation(model: SkelModel, frame_skip: int) -> Callable:
+    """frame_skip substeps with the same tau (reference:
+    DartEnv.do_simulation † — same tau each substep, SURVEY.md §2.2)."""
+    step = make_sim_step(model)
+
+    def do_sim(state: SimState, tau, f_ext_world=None):
+        # small static trip count: unroll for XLA fusion
+        contacts0 = None
+        st = state
+        for _ in range(frame_skip):
+            st, contacts0 = step(st, tau, f_ext_world)
+        return st, contacts0
+
+    return do_sim

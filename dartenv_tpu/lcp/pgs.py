@@ -1,0 +1,57 @@
+"""Boxed LCP solvers (projected Gauss-Seidel; batched under vmap).
+
+TPU-native replacement of the reference's LCP layer
+(`dart/constraint/PGSLCPSolver.cpp` † and ODE's `dSolveLCP` Dantzig,
+`dart/external/odelcpsolver/lcp.cpp` † — SURVEY.md §2.4 "LCP solvers").
+
+Problem:  find lam in [lo', hi'] with  w = A lam + b  satisfying the boxed
+complementarity conditions, where rows with findex >= 0 have friction-coupled
+bounds lo' = -mu * lam[findex], hi' = +mu * lam[findex] (the ODE `findex`
+convention the reference uses for the friction pyramid).
+
+The sweep is a *static* unrolled loop over rows (row count <= ~40 for these
+tasks) inside a `lax.fori_loop` over iterations; under vmap every scalar op
+is one VPU op over the env batch.  Row order is static => deterministic.
+
+`findex` and `mu` are static per row (numpy arrays) — the row layout is
+fixed at trace time by the constraint assembler.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
+              lam0=None):
+    """Solve the boxed LCP for one env.
+
+    A: (m, m); b, lo, hi, active: (m,) arrays; findex: length-m numpy int
+    array (-1 = plain bounds); mu: (m,) friction coefficients for
+    findex-coupled rows.  Inactive rows are pinned to lam = 0.
+    Returns lam (m,).
+    """
+    m = A.shape[-1]
+    if m == 0:
+        return jnp.zeros((0,), dtype=A.dtype)
+    findex = np.asarray(findex)
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+    lam_init = jnp.zeros(m, dtype=A.dtype) if lam0 is None else lam0
+
+    def sweep(_, lam):
+        for i in range(m):
+            w_i = A[i] @ lam + b[i]
+            new = lam[i] - w_i * inv_diag[i]
+            if findex[i] >= 0:
+                bound = mu[i] * lam[findex[i]]
+                lo_i = jnp.maximum(lo[i], -bound)
+                hi_i = jnp.minimum(hi[i], bound)
+            else:
+                lo_i, hi_i = lo[i], hi[i]
+            new = jnp.clip(new, lo_i, hi_i) * active[i]
+            lam = lam.at[i].set(new)
+        return lam
+
+    return jax.lax.fori_loop(0, iters, sweep, lam_init)

@@ -1,0 +1,255 @@
+"""Programmatic model construction -> SkelModel.
+
+Host-side (offline) model assembly: the TPU-native analogue of the
+reference's parser output path (`dart/utils/SkelParser.cpp` † builds the
+World object graph; here we build pure arrays once, outside jit — SURVEY.md
+§2.4 "utils: parsers").  Used directly by tests/envs and by the .skel XML
+parser (`skel_parser.py`).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from dartenv_tpu.model.skel_model import (
+    JOINT_NDOF, SkelModel, SolverConfig, ancestor_mask_np,
+    GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE,
+)
+
+
+def rpy_to_mat(r, p, y):
+    """XYZ-fixed-angle rotation (roll-pitch-yaw), matching the skel-file
+    convention for <transform> entries ‡."""
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp_ = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp_], [0, 1, 0], [-sp_, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def box_inertia(mass, half_extents):
+    x, y, z = [2.0 * h for h in half_extents]
+    return np.diag([
+        mass / 12.0 * (y * y + z * z),
+        mass / 12.0 * (x * x + z * z),
+        mass / 12.0 * (x * x + y * y),
+    ])
+
+
+def sphere_inertia(mass, radius):
+    i = 0.4 * mass * radius * radius
+    return np.diag([i, i, i])
+
+
+def cylinder_inertia(mass, radius, height):
+    """About COM, axis = local z."""
+    ixy = mass * (3.0 * radius * radius + height * height) / 12.0
+    iz = 0.5 * mass * radius * radius
+    return np.diag([ixy, ixy, iz])
+
+
+def capsule_inertia(mass, radius, half_length):
+    """Capsule about COM, axis = local z (cylinder + two hemispheres)."""
+    h = 2.0 * half_length
+    r = radius
+    vol_cyl = np.pi * r * r * h
+    vol_sph = 4.0 / 3.0 * np.pi * r ** 3
+    vol = vol_cyl + vol_sph
+    m_cyl = mass * vol_cyl / vol
+    m_sph = mass * vol_sph / vol
+    # cylinder part
+    iz = 0.5 * m_cyl * r * r
+    ixy = m_cyl * (3 * r * r + h * h) / 12.0
+    # hemispheres (two, offset h/2 from center)
+    iz_s = 0.4 * m_sph * r * r
+    ixy_s = 0.4 * m_sph * r * r + m_sph * (
+        0.5 * h * 0.5 * h + 2.0 * (3.0 / 8.0) * r * 0.5 * h
+    )
+    return np.diag([ixy + ixy_s, ixy + ixy_s, iz + iz_s])
+
+
+class ModelBuilder:
+    def __init__(self, dt: float = 0.002, gravity=(0.0, -9.81, 0.0),
+                 name: str = "skel", solver: Optional[SolverConfig] = None):
+        self.dt = float(dt)
+        self.gravity = np.asarray(gravity, dtype=np.float64)
+        self.name = name
+        self.solver = solver or SolverConfig()
+        self._bodies = []       # dicts
+        self._geoms = []
+        self._wgeoms = []
+        self._name_to_idx = {}
+
+    # -- bodies/joints ----------------------------------------------------
+    def add_body(
+        self,
+        name: str,
+        parent: Optional[str],
+        joint_type: int,
+        *,
+        axes: Sequence[Sequence[float]] = ((1, 0, 0), (0, 1, 0), (0, 0, 1)),
+        pj_pos=(0, 0, 0), pj_rot=None,
+        cj_pos=(0, 0, 0), cj_rot=None,
+        mass: float = 1.0, com=(0, 0, 0), inertia=None,
+        damping=0.0, spring=0.0, rest=0.0, dof_friction=0.0,
+        q_lower=None, q_upper=None,
+        q_init=0.0, joint_name: Optional[str] = None,
+    ) -> str:
+        nd = JOINT_NDOF[joint_type]
+
+        def _per_dof(x, default=0.0):
+            if x is None:
+                return [default] * nd
+            if np.isscalar(x):
+                return [float(x)] * nd
+            assert len(x) == nd, (name, x)
+            return [float(v) for v in x]
+
+        ax = np.zeros((3, 3))
+        axes = np.asarray(axes, dtype=np.float64)
+        ax[: axes.shape[0]] = axes
+        parent_idx = -1 if parent is None else self._name_to_idx[parent]
+        body = dict(
+            name=name,
+            joint_name=joint_name or (name + "_joint"),
+            parent=parent_idx,
+            joint_type=joint_type,
+            axes=ax,
+            pj_pos=np.asarray(pj_pos, dtype=np.float64),
+            pj_rot=np.eye(3) if pj_rot is None else np.asarray(pj_rot),
+            cj_pos=np.asarray(cj_pos, dtype=np.float64),
+            cj_rot=np.eye(3) if cj_rot is None else np.asarray(cj_rot),
+            mass=float(mass),
+            com=np.asarray(com, dtype=np.float64),
+            inertia=(np.eye(3) * 1e-3 if inertia is None
+                     else np.asarray(inertia, dtype=np.float64)),
+            damping=_per_dof(damping),
+            spring=_per_dof(spring),
+            rest=_per_dof(rest),
+            dof_friction=_per_dof(dof_friction),
+            q_lower=_per_dof(q_lower, -1e16),
+            q_upper=_per_dof(q_upper, 1e16),
+            limited=[
+                1.0 if (q_lower is not None or q_upper is not None) else 0.0
+            ] * nd,
+            q_init=_per_dof(q_init),
+        )
+        self._name_to_idx[name] = len(self._bodies)
+        self._bodies.append(body)
+        return name
+
+    # -- geoms ------------------------------------------------------------
+    def add_geom(self, body: str, gtype: int, size,
+                 pos=(0, 0, 0), rot=None, friction: float = 1.0,
+                 restitution: float = 0.0, collide: bool = True):
+        s = np.zeros(3)
+        size = np.atleast_1d(np.asarray(size, dtype=np.float64))
+        s[: size.shape[0]] = size
+        self._geoms.append(dict(
+            body=self._name_to_idx[body], type=int(gtype), size=s,
+            pos=np.asarray(pos, dtype=np.float64),
+            rot=np.eye(3) if rot is None else np.asarray(rot),
+            friction=float(friction), restitution=float(restitution),
+            collide=bool(collide),
+        ))
+
+    def add_ground(self, normal=(0, 1, 0), offset: float = 0.0,
+                   friction: float = 1.0, restitution: float = 0.0):
+        n = np.asarray(normal, dtype=np.float64)
+        self._wgeoms.append(dict(
+            normal=n / np.linalg.norm(n), offset=float(offset),
+            friction=float(friction), restitution=float(restitution),
+        ))
+
+    # -- finalize ---------------------------------------------------------
+    def finalize(self, dtype=jnp.float32) -> SkelModel:
+        nb = len(self._bodies)
+        q_start, ndof = [], []
+        n = 0
+        for b in self._bodies:
+            q_start.append(n)
+            nd = JOINT_NDOF[b["joint_type"]]
+            ndof.append(nd)
+            n += nd
+
+        def stack(key, shape):
+            return np.stack([np.broadcast_to(b[key], shape)
+                             for b in self._bodies])
+
+        def per_dof(key):
+            out = []
+            for b in self._bodies:
+                out += b[key]
+            return np.asarray(out, dtype=np.float64)
+
+        parent = tuple(b["parent"] for b in self._bodies)
+        for i, p in enumerate(parent):
+            assert p < i, "bodies must be topologically ordered"
+
+        ng = len(self._geoms)
+        nw = len(self._wgeoms)
+        world_pairs = []
+        for gi, g in enumerate(self._geoms):
+            if not g["collide"]:
+                continue
+            for wi in range(nw):
+                world_pairs.append((gi, wi))
+
+        a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+        qs = tuple(q_start)
+        nd_t = tuple(ndof)
+        return SkelModel(
+            nb=nb, n=n, parent=parent,
+            joint_type=tuple(b["joint_type"] for b in self._bodies),
+            q_start=qs, ndof=nd_t,
+            body_names=tuple(b["name"] for b in self._bodies),
+            joint_names=tuple(b["joint_name"] for b in self._bodies),
+            world_pairs=tuple(world_pairs),
+            self_pairs=(),
+            dt=self.dt, name=self.name, solver=self.solver,
+            pj_rot=a(stack("pj_rot", (3, 3))), pj_pos=a(stack("pj_pos", (3,))),
+            cj_rot=a(stack("cj_rot", (3, 3))), cj_pos=a(stack("cj_pos", (3,))),
+            axes=a(stack("axes", (3, 3))),
+            mass=a([b["mass"] for b in self._bodies]),
+            com=a(stack("com", (3,))),
+            inertia=a(stack("inertia", (3, 3))),
+            damping=a(per_dof("damping")),
+            spring_stiff=a(per_dof("spring")),
+            rest_pos=a(per_dof("rest")),
+            dof_friction=a(per_dof("dof_friction")),
+            q_lower=a(per_dof("q_lower")), q_upper=a(per_dof("q_upper")),
+            limited=a(per_dof("limited")),
+            q_init=a(per_dof("q_init")),
+            dq_init=a(np.zeros(n)),
+            ancestor_mask=a(ancestor_mask_np(parent, qs, nd_t, n)),
+            geom_body=jnp.asarray(
+                np.asarray([g["body"] for g in self._geoms], dtype=np.int32)
+                if ng else np.zeros((0,), np.int32)),
+            geom_type=jnp.asarray(
+                np.asarray([g["type"] for g in self._geoms], dtype=np.int32)
+                if ng else np.zeros((0,), np.int32)),
+            geom_size=a(np.stack([g["size"] for g in self._geoms])
+                        if ng else np.zeros((0, 3))),
+            geom_rot=a(np.stack([g["rot"] for g in self._geoms])
+                       if ng else np.zeros((0, 3, 3))),
+            geom_pos=a(np.stack([g["pos"] for g in self._geoms])
+                       if ng else np.zeros((0, 3))),
+            geom_friction=a([g["friction"] for g in self._geoms]
+                            if ng else np.zeros((0,))),
+            geom_restitution=a([g["restitution"] for g in self._geoms]
+                               if ng else np.zeros((0,))),
+            wg_normal=a(np.stack([w["normal"] for w in self._wgeoms])
+                        if nw else np.zeros((0, 3))),
+            wg_offset=a([w["offset"] for w in self._wgeoms]
+                        if nw else np.zeros((0,))),
+            wg_friction=a([w["friction"] for w in self._wgeoms]
+                          if nw else np.zeros((0,))),
+            wg_restitution=a([w["restitution"] for w in self._wgeoms]
+                             if nw else np.zeros((0,))),
+            gravity=a(self.gravity),
+        )

@@ -1,0 +1,26 @@
+"""Test harness config: run on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding logic is exercised
+on a CPU mesh exactly as SURVEY.md §4 prescribes
+(xla_force_host_platform_device_count).  The driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip.
+"""
+import os
+
+# force CPU: the session may point JAX_PLATFORMS at a tunneled TPU ("axon"),
+# which would make every tiny test op a network round-trip
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# the axon sitecustomize pins jax_platforms to the tunneled TPU; undo it
+jax.config.update("jax_platforms", "cpu")
+
+# float64 validation mode (SURVEY.md §7 float policy): tests validate the
+# physics in f64; TPU production mode is f32 and has its own tolerance tests.
+jax.config.update("jax_enable_x64", True)
