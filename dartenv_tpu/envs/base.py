@@ -1,0 +1,289 @@
+"""DartEnv base layer: functional task core + gym-style OO shim.
+
+Reference: `gym/envs/dart/dart_env.py:~1-260` † (SURVEY.md §2.2) — asset
+loading, action/observation spaces, `set_state`/`state_vector`,
+`do_simulation(tau, n_frames)`, seeding, `dt = world.dt * frame_skip`.
+
+Architecture (SURVEY.md §7 "functional core, OO shim"):
+
+* `Task` — a per-environment bundle of pure functions
+  (action->tau, obs, reward, done, reset) closed over a `SkelModel`.
+  `make_env_step(task)` fuses clamp -> scale -> frame_skip substeps ->
+  obs/reward/done into ONE jittable function with zero host crossings
+  (the reference pays ~2 Python->C++ crossings per substep, §3.2).
+* `DartEnv(Task)` — the single-env, numpy-in/numpy-out gym 0.9.x class.
+  Reset noise uses `gym.utils.seeding`-compatible NumPy streams for
+  seed-for-seed parity with the reference (§3.3); the batched path uses
+  `jax.random` (see dartenv_tpu.parallel.vec_env).
+
+Behavioral invariants replicated (SURVEY.md §2.2): action clamped to
+control_bounds BEFORE scaling; tau applied to the full dof vector with root
+dofs zeroed; same tau for every frame_skip substep; reward dt =
+sim_dt * frame_skip; termination on post-step state; reset perturbs the
+skel-file default pose.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dartenv_tpu.api import core, seeding, spaces
+from dartenv_tpu.engine.world import (
+    SimState, init_state, make_do_simulation,
+)
+from dartenv_tpu.model.skel_model import SkelModel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvState:
+    """Complete per-env state for the functional path."""
+
+    sim: SimState
+    aux: Any         # task-specific pytree (e.g. reacher target)
+    key: Any         # jax PRNG key (functional resets)
+    steps: Any       # int32 episode step counter
+
+
+class Task:
+    """Pure-function bundle for one environment family.
+
+    Subclasses set the class attributes and override the hooks.  All hooks
+    must be jit-safe (no data-dependent Python control flow).
+    """
+
+    name: str = "task"
+    frame_skip: int = 1
+    obs_size: int = 0
+    # (2, m): row 0 = upper, row 1 = lower (reference control_bounds layout ‡)
+    control_bounds: np.ndarray = np.zeros((2, 0))
+    # reset noise: uniform(-s, s) added to q_init/dq_init
+    reset_noise: float = 0.01
+
+    def __init__(self, model: SkelModel):
+        self.model = model
+
+    # -- control ---------------------------------------------------------
+    def action_to_tau(self, a, aux):
+        """Map clamped action -> full-dof generalized force."""
+        raise NotImplementedError
+
+    # -- observation -----------------------------------------------------
+    def obs(self, sim: SimState, aux):
+        raise NotImplementedError
+
+    # -- reward / termination -------------------------------------------
+    def reward(self, sim_prev: SimState, sim: SimState, a, contacts, aux):
+        raise NotImplementedError
+
+    def done(self, sim: SimState, aux):
+        raise NotImplementedError
+
+    # -- reset -----------------------------------------------------------
+    def aux_init(self):
+        """Static initial aux pytree (must match aux_reset's structure)."""
+        return ()
+
+    def aux_reset(self, key, aux):
+        """Resample task-specific state on reset (jax path)."""
+        return self.aux_init()
+
+    def reset_sim(self, key) -> SimState:
+        """Default reference semantics: q,dq = defaults + U(-s, s) ‡."""
+        model = self.model
+        s = self.reset_noise
+        kq, kdq = jax.random.split(key)
+        q = model.q_init + jax.random.uniform(
+            kq, (model.n,), minval=-s, maxval=s, dtype=model.q_init.dtype
+        )
+        dq = model.dq_init + jax.random.uniform(
+            kdq, (model.n,), minval=-s, maxval=s, dtype=model.q_init.dtype
+        )
+        return SimState(q=q, dq=dq,
+                        time=jnp.zeros((), dtype=model.q_init.dtype))
+
+    def np_reset_sim(self, np_random) -> Tuple[np.ndarray, np.ndarray]:
+        """NumPy reset path for seed parity (same call order as the
+        reference's reset_model †): uniform on q then dq."""
+        model = self.model
+        s = self.reset_noise
+        q = np.asarray(model.q_init) + np_random.uniform(
+            low=-s, high=s, size=model.n
+        )
+        dq = np.asarray(model.dq_init) + np_random.uniform(
+            low=-s, high=s, size=model.n
+        )
+        return q, dq
+
+    def np_reset_aux(self, np_random, aux):
+        return self.aux_init()
+
+    @property
+    def dt(self) -> float:
+        """Control dt — the reference's `self.dt = world.dt * frame_skip` †"""
+        return self.model.dt * self.frame_skip
+
+    @property
+    def action_size(self) -> int:
+        return self.control_bounds.shape[1]
+
+
+def make_env_step(task: Task):
+    """Fused env step: (EnvState, action) -> (EnvState, obs, reward, done).
+
+    One jittable function per control step (frame_skip substeps inside).
+    """
+    model = task.model
+    do_sim = make_do_simulation(model, task.frame_skip)
+    hi = jnp.asarray(task.control_bounds[0], dtype=model.q_init.dtype)
+    lo = jnp.asarray(task.control_bounds[1], dtype=model.q_init.dtype)
+
+    def env_step(state: EnvState, action):
+        a = jnp.clip(action, lo, hi)
+        tau = task.action_to_tau(a, state.aux)
+        sim_new, contacts = do_sim(state.sim, tau)
+        obs = task.obs(sim_new, state.aux)
+        reward = task.reward(state.sim, sim_new, a, contacts, state.aux)
+        done = task.done(sim_new, state.aux)
+        new_state = EnvState(
+            sim=sim_new, aux=state.aux, key=state.key,
+            steps=state.steps + 1,
+        )
+        return new_state, obs, reward, done
+
+    return env_step
+
+
+def make_env_reset(task: Task):
+    """Functional reset: key -> (EnvState, obs)."""
+    def env_reset(key):
+        key, k_sim, k_aux = jax.random.split(key, 3)
+        aux = task.aux_reset(k_aux, task.aux_init())
+        sim = task.reset_sim(k_sim)
+        state = EnvState(
+            sim=sim, aux=aux, key=key,
+            steps=jnp.zeros((), dtype=jnp.int32),
+        )
+        return state, task.obs(sim, aux)
+
+    return env_reset
+
+
+class DartEnv(core.Env):
+    """Single-env gym 0.9.x-compatible shim over a Task."""
+
+    metadata = {"render.modes": ["human", "rgb_array"]}
+
+    def __init__(self, task: Task):
+        self.task = task
+        self.model = task.model
+        self.frame_skip = task.frame_skip
+        self._env_step = jax.jit(make_env_step(task))
+        self._do_sim = jax.jit(make_do_simulation(task.model, task.frame_skip))
+
+        m = task.action_size
+        self.action_space = spaces.Box(
+            np.asarray(task.control_bounds[1], dtype=np.float64),
+            np.asarray(task.control_bounds[0], dtype=np.float64),
+            dtype=np.float64,
+        )
+        self.observation_space = spaces.Box(
+            -np.inf * np.ones(task.obs_size),
+            np.inf * np.ones(task.obs_size),
+            dtype=np.float64,
+        )
+        self.metadata = {
+            "render.modes": ["human", "rgb_array"],
+            "video.frames_per_second": int(round(1.0 / self.dt)),
+        }
+        self._viewer = None
+        self._seed()
+        self._state = None
+
+    # -- gym plumbing ----------------------------------------------------
+    @property
+    def dt(self):
+        return self.task.dt
+
+    def _seed(self, seed=None):
+        self.np_random, seed = seeding.np_random(seed)
+        return [seed]
+
+    # -- state access (reference: set_state / state_vector †) ------------
+    def set_state(self, qpos, qvel):
+        assert qpos.shape == (self.model.n,) and qvel.shape == (self.model.n,)
+        sim = SimState(
+            q=jnp.asarray(qpos, dtype=self.model.q_init.dtype),
+            dq=jnp.asarray(qvel, dtype=self.model.q_init.dtype),
+            time=self._state.sim.time if self._state is not None
+            else jnp.zeros((), dtype=self.model.q_init.dtype),
+        )
+        self._state = dataclasses.replace(self._state, sim=sim)
+
+    def set_state_vector(self, s):
+        n = self.model.n
+        self.set_state(np.asarray(s[:n]), np.asarray(s[n:]))
+
+    def state_vector(self):
+        return np.concatenate([
+            np.asarray(self._state.sim.q), np.asarray(self._state.sim.dq)
+        ])
+
+    # -- stepping --------------------------------------------------------
+    def do_simulation(self, tau, n_frames):
+        """Low-level parity hook: apply raw generalized forces."""
+        from dartenv_tpu.engine.world import make_do_simulation as _mk
+
+        if n_frames == self.frame_skip:
+            do = self._do_sim
+        else:
+            do = jax.jit(_mk(self.model, n_frames))
+        sim, contacts = do(
+            self._state.sim, jnp.asarray(tau, dtype=self.model.q_init.dtype)
+        )
+        self._state = dataclasses.replace(self._state, sim=sim)
+        return contacts
+
+    def _step(self, action):
+        a = jnp.asarray(action, dtype=self.model.q_init.dtype)
+        self._state, obs, reward, done = self._env_step(self._state, a)
+        return (
+            np.asarray(obs, dtype=np.float64),
+            float(reward),
+            bool(done),
+            {},
+        )
+
+    def _reset(self):
+        q, dq = self.task.np_reset_sim(self.np_random)
+        aux = self.task.np_reset_aux(self.np_random, self.task.aux_init())
+        dtype = self.model.q_init.dtype
+        sim = SimState(
+            q=jnp.asarray(q, dtype=dtype),
+            dq=jnp.asarray(dq, dtype=dtype),
+            time=jnp.zeros((), dtype=dtype),
+        )
+        self._state = EnvState(
+            sim=sim, aux=aux,
+            key=jax.random.PRNGKey(0),
+            steps=jnp.zeros((), dtype=jnp.int32),
+        )
+        return np.asarray(
+            self.task.obs(sim, aux), dtype=np.float64
+        )
+
+    def _render(self, mode="human", close=False):
+        if close:
+            if self._viewer is not None:
+                self._viewer = None
+            return
+        from dartenv_tpu.envs.render import render_frame
+
+        frame = render_frame(self.model, self._state.sim)
+        if mode == "rgb_array":
+            return frame
+        return None

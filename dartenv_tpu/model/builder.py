@@ -135,8 +135,10 @@ class ModelBuilder:
             q_lower=_per_dof(q_lower, -1e16),
             q_upper=_per_dof(q_upper, 1e16),
             limited=[
-                1.0 if (q_lower is not None or q_upper is not None) else 0.0
-            ] * nd,
+                1.0 if (lo > -1e15 or hi < 1e15) else 0.0
+                for lo, hi in zip(_per_dof(q_lower, -1e16),
+                                  _per_dof(q_upper, 1e16))
+            ],
             q_init=_per_dof(q_init),
         )
         self._name_to_idx[name] = len(self._bodies)
