@@ -103,6 +103,38 @@ def fk(model: SkelModel, q, dq) -> Kin:
     )
 
 
+def fk_positions(model: SkelModel, q):
+    """Pose-only forward kinematics: (R_w (nb,3,3), p_w (nb,3)).
+
+    Cheaper than `fk` when only world poses are needed (obs/reward
+    functions); XLA CSE merges it with the step's own FK where possible.
+    """
+    zeros = jnp.zeros_like(q)
+    R_w, p_w = [], []
+    for i, a, b in _joint_slices(model):
+        qj = q[a:b]
+        Rj, pj, _S, _Sd = joint_kinematics(
+            model.joint_type[i], model.axes[i], qj, zeros[a:b]
+        )
+        R1, p1 = sp.t_compose(model.pj_rot[i], model.pj_pos[i], Rj, pj)
+        cj_inv_R, cj_inv_p = sp.t_inv(model.cj_rot[i], model.cj_pos[i])
+        R_rel, p_rel = sp.t_compose(R1, p1, cj_inv_R, cj_inv_p)
+        par = model.parent[i]
+        if par < 0:
+            R_w.append(R_rel)
+            p_w.append(p_rel)
+        else:
+            R_w.append(R_w[par] @ R_rel)
+            p_w.append(p_w[par] + R_w[par] @ p_rel)
+    return jnp.stack(R_w), jnp.stack(p_w)
+
+
+def body_point_world(model: SkelModel, q, body: int, offset):
+    """World position of a body-frame point (e.g. a fingertip)."""
+    R_w, p_w = fk_positions(model, q)
+    return p_w[body] + R_w[body] @ jnp.asarray(offset, dtype=q.dtype)
+
+
 def _body_inertias(model: SkelModel):
     return sp.spatial_inertia(model.mass, model.com, model.inertia)
 
