@@ -96,11 +96,19 @@ def make_do_simulation(model: SkelModel, frame_skip: int) -> Callable:
     step = make_sim_step(model)
 
     def do_sim(state: SimState, tau, f_ext_world=None):
-        # small static trip count: unroll for XLA fusion
-        contacts0 = None
-        st = state
-        for _ in range(frame_skip):
-            st, contacts0 = step(st, tau, f_ext_world)
-        return st, contacts0
+        if frame_skip <= 4:
+            # small static trip count: unroll for XLA fusion
+            contacts0 = None
+            st = state
+            for _ in range(frame_skip):
+                st, contacts0 = step(st, tau, f_ext_world)
+            return st, contacts0
+        # larger trip counts: scan to keep compile time/program size bounded
+        def body(st, _):
+            st2, c2 = step(st, tau, f_ext_world)
+            return st2, c2
+
+        st, cs = jax.lax.scan(body, state, None, length=frame_skip)
+        return st, jax.tree_util.tree_map(lambda x: x[-1], cs)
 
     return do_sim

@@ -24,3 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 # float64 validation mode (SURVEY.md §7 float policy): tests validate the
 # physics in f64; TPU production mode is f32 and has its own tolerance tests.
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: the env step graphs are large (humanoid ~29
+# dofs x 15 substeps) and dominate test wall-clock on recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
