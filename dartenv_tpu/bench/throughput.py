@@ -1,0 +1,143 @@
+"""Throughput benchmark: batched env-steps/s (SURVEY.md §6).
+
+Primary tracked metric (BASELINE.json): env-steps/s/chip on batched
+DartWalker2d.  One env-step = one control step (frame_skip physics substeps
+inside).  The whole rollout (policy + B envs x T steps) is a single jitted
+XLA program; timing excludes compilation.
+
+Baseline note: the reference publishes NO numbers (BASELINE.md).  The
+`vs_baseline` ratio is computed against the survey's anecdotal single-core
+CPU estimate for the reference stack (~5,000 env-steps/s/core, SURVEY.md §6
+"anecdotal reference speed", explicitly an estimate) until the reference
+can be measured.
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_CPU_STEPS_PER_S = 5000.0  # anecdotal estimate, see module docstring
+
+_TASKS = {
+    "cartpole": ("dartenv_tpu.envs.cart_pole", "make_cartpole_task"),
+    "reacher": ("dartenv_tpu.envs.reacher", "make_reacher_task"),
+    "hopper": ("dartenv_tpu.envs.hopper", "make_hopper_task"),
+    "walker2d": ("dartenv_tpu.envs.walker2d", "make_walker2d_task"),
+    "humanwalker": ("dartenv_tpu.envs.human_walker",
+                    "make_humanwalker_task"),
+}
+
+
+def make_task(name: str, dtype=jnp.float32):
+    import importlib
+
+    mod, fn = _TASKS[name]
+    return getattr(importlib.import_module(mod), fn)(dtype=dtype)
+
+
+def random_policy(task):
+    hi = jnp.asarray(task.control_bounds[0], dtype=jnp.float32)
+    lo = jnp.asarray(task.control_bounds[1], dtype=jnp.float32)
+
+    def policy(params, obs, key):
+        del params
+        shape = obs.shape[:-1] + (task.action_size,)
+        return jax.random.uniform(key, shape, obs.dtype, 0.0, 1.0) * (
+            hi - lo
+        ) + lo
+
+    return policy
+
+
+def bench_env(name: str = "walker2d", batch: int = 4096,
+              horizon: int = 100, iters: int = 5,
+              max_episode_steps: int = 1000, devices=None):
+    """Returns dict with env-steps/s and timing detail."""
+    from dartenv_tpu.parallel.rollout import make_rollout
+    from dartenv_tpu.parallel.sharding import (
+        env_mesh, make_sharded_rollout, shard_env_batch,
+    )
+    from dartenv_tpu.parallel.vec_env import VecEnv
+
+    task = make_task(name)
+    vec = VecEnv(task, num_envs=batch, max_episode_steps=max_episode_steps)
+    policy = random_policy(task)
+
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_dev > 1:
+        mesh = env_mesh(devices)
+        rollout = jax.jit(
+            make_sharded_rollout(vec, policy, horizon, mesh)
+        )
+        state, _ = vec.reset(jax.random.PRNGKey(0))
+        state = shard_env_batch(state, mesh)
+    else:
+        rollout = jax.jit(make_rollout(vec, policy, horizon))
+        state, _ = vec.reset(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    state, stats = rollout(None, state, key)
+    jax.block_until_ready(stats.returns_sum)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        state, stats = rollout(None, state, key)
+        jax.block_until_ready(stats.returns_sum)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    steps = batch * horizon
+    return {
+        "env": name,
+        "batch": batch,
+        "horizon": horizon,
+        "devices": n_dev,
+        "env_steps_per_s": steps / best,
+        "env_steps_per_s_per_chip": steps / best / n_dev,
+        "substeps_per_s": steps * task.frame_skip / best,
+        "compile_s": compile_s,
+        "iter_times_s": times,
+        "episodes_seen": float(stats.episodes),
+        "mean_return": float(stats.mean_return()),
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", default="walker2d", choices=sorted(_TASKS))
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--horizon", type=int, default=100)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    r = bench_env(args.env, args.batch, args.horizon, args.iters)
+    per_chip = r["env_steps_per_s_per_chip"]
+    line = {
+        "metric": f"env-steps/s/chip (batched Dart{args.env.capitalize()},"
+                  f" B={args.batch})",
+        "value": round(per_chip, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(per_chip / REFERENCE_CPU_STEPS_PER_S, 2),
+    }
+    if args.verbose:
+        print(json.dumps(r, indent=2))
+    print(json.dumps(line))
+    return line
+
+
+if __name__ == "__main__":
+    main()

@@ -1,99 +1,79 @@
 """Constraint assembly: contacts + joint limits + joint Coulomb friction
--> one boxed LCP per env.
+-> one boxed LCP per env — fully vectorized over constraint rows.
 
 TPU-native replacement of the reference's constraint layer
 (`dart/constraint/ConstraintSolver.cpp` †, `ContactConstraint.cpp` †,
 `JointLimitConstraint.cpp` †, `JointCoulombFrictionConstraint` † —
 SURVEY.md §2.4).  Differences from the reference's architecture, by design:
 
-* no constrained-island grouping — each env is one robot, the LCP covers all
-  rows, inactive ones masked (SURVEY.md §2.4: "islands unnecessary");
-* A = J M^-1 J^T is assembled densely from the CRBA mass matrix instead of
-  DART's per-column unit-impulse tests — identical operator, but expressed
-  as small dense matmuls that batch onto the TPU under vmap.
+* no constrained-island grouping — each env is one robot, the LCP covers
+  all rows, inactive ones masked (SURVEY.md §2.4: "islands unnecessary");
+* A = J M^-1 J^T is assembled densely from the mass matrix instead of
+  DART's per-column unit-impulse tests — identical operator, expressed as
+  a few batched einsums (slot layout is static, so the whole assembly is
+  array-shaped: no per-row Python graphs).
 
 Row semantics mirror the reference's ODE-style rows:
 * contact normal row: lam >= 0, target velocity =
     max(restitution * (-v_n), erp * max(depth - allowance, 0)/dt capped at
     max_erv) (ContactConstraint ERP/CFM/allowance semantics ‡);
 * two friction rows per contact with findex coupling (friction pyramid),
-  first tangent from a deterministic basis of the normal
+  tangents from a deterministic basis of the normal
   (getTangentBasisMatrixODE † analogue);
-* joint-limit row per limited dof, sign-flipped so it is always a
-  ">=0, lam>=0" row (JointLimitConstraint †, activated on violation);
+* joint-limit row per limited dof, sign-flipped into ">=0, lam>=0" form
+  (JointLimitConstraint †, activated on violation);
 * Coulomb joint-friction row per dof with dof_friction > 0:
   |impulse| <= friction_force * dt.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.collision.narrowphase import Contacts, slot_layout
 from dartenv_tpu.math.linalg import chol, chol_solve
 from dartenv_tpu.model.skel_model import SkelModel
-from dartenv_tpu.dynamics.algorithms import Kin
 from dartenv_tpu.lcp.pgs import pgs_solve
 from dartenv_tpu.lcp.dantzig import dantzig_solve
 
 
 def tangent_basis(n):
-    """Deterministic tangent frame for a unit normal (single env, (3,))."""
-    ex = jnp.asarray([1.0, 0.0, 0.0], dtype=n.dtype)
-    ez = jnp.asarray([0.0, 0.0, 1.0], dtype=n.dtype)
-    ref = jnp.where(jnp.abs(n[0]) < 0.9, ex, ez)
+    """Deterministic tangent frame for unit normals n (..., 3)."""
+    ex = jnp.zeros_like(n).at[..., 0].set(1.0)
+    ez = jnp.zeros_like(n).at[..., 2].set(1.0)
+    ref = jnp.where(jnp.abs(n[..., :1]) < 0.9, ex, ez)
     t1 = jnp.cross(n, ref)
-    t1 = t1 / jnp.linalg.norm(t1)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
     t2 = jnp.cross(n, t1)
     return t1, t2
 
 
-def world_dof_columns(model: SkelModel, kin: Kin):
-    """Per-dof world-frame spatial columns at the world origin: (n, 6).
-
-    Column d (owned by body b_d): w = R_w S_w, v = R_w S_v + p_w x w.
-    Together with the static ancestor mask this gives any body-point
-    Jacobian in two fused ops.
-    """
-    dof_body = np.asarray(model.dof_body_index())
-    Rb = kin.R_w[dof_body]            # (n, 3, 3)
-    pb = kin.p_w[dof_body]            # (n, 3)
-    Sw = kin.S[:, :3]
-    Sv = kin.S[:, 3:]
-    w = jnp.einsum("dij,dj->di", Rb, Sw)
-    v = jnp.einsum("dij,dj->di", Rb, Sv) + jnp.cross(pb, w)
-    return jnp.concatenate([w, v], axis=-1)
-
-
-def point_jacobian(model: SkelModel, phi, body: int, p):
-    """(3, n) linear point Jacobian for a world point p on `body`
-    (static index)."""
-    w, v = phi[:, :3], phi[:, 3:]
-    cols = v + jnp.cross(w, jnp.broadcast_to(p, w.shape))
-    mask = model.ancestor_mask[body][:, None]
-    return (cols * mask).T
-
-
 @dataclasses.dataclass(frozen=True)
 class RowLayout:
-    """Static structure of the LCP (host-side, built once per model)."""
+    """Static structure of the LCP (host-side, built once per model).
+
+    Row order: [3 per contact slot (n, t1, t2)] ++ [limit rows] ++
+    [dof friction rows].
+    """
 
     m: int
     contact_slots: int
-    # per contact slot: row indices (normal, t1, t2) are 3*s + (0,1,2)
-    limit_dofs: tuple      # dof indices with limits
-    friction_dofs: tuple   # dof indices with Coulomb joint friction
-    findex: np.ndarray     # (m,) int
+    limit_dofs: tuple
+    friction_dofs: tuple
+    findex: np.ndarray       # (m,)
     slot_body: tuple
+    slot_mask: np.ndarray    # (ns, n) ancestor mask per slot
+    lim_onehot: np.ndarray   # (nl, n)
+    fr_onehot: np.ndarray    # (nf, n)
 
 
 def build_layout(model: SkelModel) -> RowLayout:
     slot_body, _ = slot_layout(model)
     ns = len(slot_body)
+    n = model.n
     limited = np.asarray(model.limited) > 0.5
     limit_dofs = tuple(int(d) for d in np.nonzero(limited)[0])
     fr = np.asarray(model.dof_friction) > 0.0
@@ -103,99 +83,121 @@ def build_layout(model: SkelModel) -> RowLayout:
     for s in range(ns):
         findex[3 * s + 1] = 3 * s
         findex[3 * s + 2] = 3 * s
+    amask = np.asarray(model.ancestor_mask)
+    slot_mask = (amask[np.asarray(slot_body, dtype=np.int64)]
+                 if ns else np.zeros((0, n)))
+    lim_onehot = np.zeros((len(limit_dofs), n))
+    for i, d in enumerate(limit_dofs):
+        lim_onehot[i, d] = 1.0
+    fr_onehot = np.zeros((len(friction_dofs), n))
+    for i, d in enumerate(friction_dofs):
+        fr_onehot[i, d] = 1.0
     return RowLayout(
         m=m, contact_slots=ns, limit_dofs=limit_dofs,
         friction_dofs=friction_dofs, findex=findex, slot_body=slot_body,
+        slot_mask=slot_mask, lim_onehot=lim_onehot, fr_onehot=fr_onehot,
     )
 
 
-def solve_constraints(model: SkelModel, layout: RowLayout, kin: Kin,
-                      M, q, dq_before, dq_star, contacts: Contacts, dt):
-    """Assemble + solve the per-env boxed LCP; returns (dq_plus, lam).
-
-    dq_before: velocities at collision time (for restitution),
-    dq_star:   post-smooth-dynamics predicted velocities.
-    """
+def assemble_rows(model: SkelModel, layout: RowLayout, phi, q,
+                  dq_before, dq_star, contacts: Contacts, dt):
+    """Vectorized (J, b, lo, hi, active, mu) for the full row stack."""
     n = model.n
-    m = layout.m
     dtype = dq_star.dtype
-    if m == 0:
-        return dq_star, jnp.zeros((0,), dtype=dtype)
-
     cfg = model.solver
-    phi = world_dof_columns(model, kin)
-
-    J_rows: List[Any] = []
-    b_rows: List[Any] = []
-    lo_rows: List[Any] = []
-    hi_rows: List[Any] = []
-    act_rows: List[Any] = []
-    mu_rows: List[Any] = []
     big = jnp.asarray(1e20, dtype=dtype)
-    zero = jnp.asarray(0.0, dtype=dtype)
+    Js, bs, los, his, acts, mus = [], [], [], [], [], []
 
-    # ---- contact rows ----
-    for s in range(layout.contact_slots):
-        body = layout.slot_body[s]
-        p = contacts.pos[s]
-        nrm = contacts.normal[s]
+    ns = layout.contact_slots
+    if ns:
+        w_cols, v_cols = phi[:, :3], phi[:, 3:]
+        p = contacts.pos                                     # (ns, 3)
+        mask = jnp.asarray(layout.slot_mask, dtype=dtype)    # (ns, n)
+        cols = (v_cols[None, :, :]
+                + jnp.cross(jnp.broadcast_to(w_cols[None, :, :],
+                                             (ns, n, 3)),
+                            p[:, None, :])) * mask[:, :, None]
+        nrm = contacts.normal
         t1, t2 = tangent_basis(nrm)
-        Jp = point_jacobian(model, phi, body, p)      # (3, n)
-        Jn = nrm @ Jp
-        Jt1 = t1 @ Jp
-        Jt2 = t2 @ Jp
-        v_n_before = Jn @ dq_before
-        bounce = contacts.restitution[s] * jnp.maximum(-v_n_before, 0.0)
+        D = jnp.stack([nrm, t1, t2], axis=1)                 # (ns, 3, 3)
+        Jc = jnp.einsum("sdk,snk->sdn", D, cols)             # (ns, 3, n)
+        v_star = jnp.einsum("sdn,n->sd", Jc, dq_star)        # (ns, 3)
+        v_n_before = jnp.einsum("sn,n->s", Jc[:, 0, :], dq_before)
+        bounce = contacts.restitution * jnp.maximum(-v_n_before, 0.0)
         erp_push = jnp.minimum(
-            cfg.erp * jnp.maximum(contacts.depth[s] - cfg.allowance, 0.0)
+            cfg.erp * jnp.maximum(contacts.depth - cfg.allowance, 0.0)
             / dt,
             cfg.max_erv,
         )
         desired = jnp.maximum(bounce, erp_push)
-        act = contacts.active[s]
-        J_rows += [Jn, Jt1, Jt2]
-        b_rows += [Jn @ dq_star - desired, Jt1 @ dq_star, Jt2 @ dq_star]
-        lo_rows += [zero, -big, -big]
-        hi_rows += [big, big, big]
-        act_rows += [act, act, act]
-        mu_rows += [zero, contacts.friction[s], contacts.friction[s]]
+        b_c = v_star.at[:, 0].add(-desired).reshape(3 * ns)
+        act_c = jnp.repeat(contacts.active, 3)
+        lo_c = jnp.tile(jnp.asarray([0.0, -1.0, -1.0], dtype) * big, ns)
+        hi_c = jnp.full((3 * ns,), 1.0, dtype) * big
+        mu_c = jnp.stack(
+            [jnp.zeros_like(contacts.friction),
+             contacts.friction, contacts.friction], axis=1
+        ).reshape(3 * ns)
+        Js.append(Jc.reshape(3 * ns, n))
+        bs.append(b_c)
+        los.append(lo_c)
+        his.append(hi_c)
+        acts.append(act_c)
+        mus.append(mu_c)
 
-    # ---- joint limit rows ----
-    for d in layout.limit_dofs:
-        e = jnp.zeros(n, dtype=dtype).at[d].set(1.0)
-        lo_viol = model.q_lower[d] - q[d]
-        hi_viol = q[d] - model.q_upper[d]
-        low_active = lo_viol > 0.0
-        high_active = hi_viol > 0.0
-        sign = jnp.where(high_active, -1.0, 1.0)
-        viol = jnp.maximum(jnp.maximum(lo_viol, hi_viol), 0.0)
+    nl = len(layout.limit_dofs)
+    if nl:
+        ld = np.asarray(layout.limit_dofs, dtype=np.int64)
+        lo_v = model.q_lower[ld] - q[ld]
+        hi_v = q[ld] - model.q_upper[ld]
+        high_active = hi_v > 0.0
+        active_l = ((lo_v > 0.0) | high_active).astype(dtype) \
+            * model.limited[ld]
+        sign = jnp.where(high_active, -1.0, 1.0).astype(dtype)
+        viol = jnp.maximum(jnp.maximum(lo_v, hi_v), 0.0)
         target = jnp.minimum(cfg.joint_erp * viol / dt, cfg.max_erv)
-        Jd = sign * e
-        J_rows.append(Jd)
-        b_rows.append(Jd @ dq_star - target)
-        lo_rows.append(zero)
-        hi_rows.append(big)
-        act_rows.append((low_active | high_active).astype(dtype)
-                        * model.limited[d])
-        mu_rows.append(zero)
+        J_l = sign[:, None] * jnp.asarray(layout.lim_onehot, dtype=dtype)
+        Js.append(J_l)
+        bs.append(sign * dq_star[ld] - target)
+        los.append(jnp.zeros(nl, dtype))
+        his.append(jnp.full((nl,), 1.0, dtype) * big)
+        acts.append(active_l)
+        mus.append(jnp.zeros(nl, dtype))
 
-    # ---- joint Coulomb friction rows ----
-    for d in layout.friction_dofs:
-        e = jnp.zeros(n, dtype=dtype).at[d].set(1.0)
-        bound = model.dof_friction[d] * dt
-        J_rows.append(e)
-        b_rows.append(e @ dq_star)
-        lo_rows.append(-bound)
-        hi_rows.append(bound)
-        act_rows.append(jnp.asarray(1.0, dtype=dtype))
-        mu_rows.append(zero)
+    nf = len(layout.friction_dofs)
+    if nf:
+        fd = np.asarray(layout.friction_dofs, dtype=np.int64)
+        bound = model.dof_friction[fd] * dt
+        Js.append(jnp.asarray(layout.fr_onehot, dtype=dtype))
+        bs.append(dq_star[fd])
+        los.append(-bound)
+        his.append(bound)
+        acts.append(jnp.ones(nf, dtype))
+        mus.append(jnp.zeros(nf, dtype))
 
-    J = jnp.stack(J_rows)                  # (m, n)
-    b = jnp.stack(b_rows)
-    lo = jnp.stack(lo_rows)
-    hi = jnp.stack(hi_rows)
-    active = jnp.stack(act_rows)
-    mu = jnp.stack(mu_rows)
+    J = jnp.concatenate(Js, axis=0)
+    return (J, jnp.concatenate(bs), jnp.concatenate(los),
+            jnp.concatenate(his), jnp.concatenate(acts),
+            jnp.concatenate(mus))
+
+
+def solve_constraints(model: SkelModel, layout: RowLayout, phi,
+                      M, q, dq_before, dq_star, contacts: Contacts, dt):
+    """Assemble + solve the per-env boxed LCP; returns (dq_plus, lam).
+
+    phi: (n, 6) world-frame dof columns (BKin.phi).
+    dq_before: velocities at collision time (for restitution),
+    dq_star:   post-smooth-dynamics predicted velocities.
+    """
+    m = layout.m
+    dtype = dq_star.dtype
+    if m == 0:
+        return dq_star, jnp.zeros((0,), dtype=dtype)
+    cfg = model.solver
+
+    J, b, lo, hi, active, mu = assemble_rows(
+        model, layout, phi, q, dq_before, dq_star, contacts, dt
+    )
 
     L = chol(M, eps=1e-10)
     MinvJt = chol_solve(L, J.T)            # (n, m)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from dartenv_tpu.collision.narrowphase import Contacts, collide
-from dartenv_tpu.dynamics.algorithms import fk, forward_dynamics_crb
+from dartenv_tpu.dynamics import batched
 from dartenv_tpu.dynamics.joints import integrate_joint_position
 from dartenv_tpu.engine.constraints import build_layout, solve_constraints
 from dartenv_tpu.model.skel_model import SkelModel
@@ -53,15 +53,7 @@ def init_state(model: SkelModel, dtype=None) -> SimState:
 
 
 def integrate_positions(model: SkelModel, q, dq, dt):
-    out = []
-    for i in range(model.nb):
-        a, b = model.q_start[i], model.q_start[i] + model.ndof[i]
-        if b == a:
-            continue
-        out.append(
-            integrate_joint_position(model.joint_type[i], q[a:b], dq[a:b], dt)
-        )
-    return jnp.concatenate(out) if out else q
+    return batched.integrate_positions(model, q, dq, dt)
 
 
 def make_sim_step(model: SkelModel) -> Callable:
@@ -76,13 +68,13 @@ def make_sim_step(model: SkelModel) -> Callable:
 
     def step(state: SimState, tau, f_ext_world=None):
         q, dq = state.q, state.dq
-        kin = fk(model, q, dq)
-        ddq, M = forward_dynamics_crb(model, kin, q, dq, tau, dt,
-                                      f_ext_world)
+        kin = batched.bkin(model, q, dq)
+        ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt,
+                                          f_ext_world)
         dq_star = dq + dt * ddq
         contacts = collide(model, kin.R_w, kin.p_w)
         dq_plus, _lam = solve_constraints(
-            model, layout, kin, M, q, dq, dq_star, contacts, dt
+            model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
         )
         q_new = integrate_positions(model, q, dq_plus, dt)
         return SimState(q=q_new, dq=dq_plus, time=state.time + dt), contacts
@@ -96,13 +88,8 @@ def make_do_simulation(model: SkelModel, frame_skip: int) -> Callable:
     step = make_sim_step(model)
 
     def do_sim(state: SimState, tau, f_ext_world=None):
-        if frame_skip <= 4:
-            # small static trip count: unroll for XLA fusion
-            contacts0 = None
-            st = state
-            for _ in range(frame_skip):
-                st, contacts0 = step(st, tau, f_ext_world)
-            return st, contacts0
+        if frame_skip == 1:
+            return step(state, tau, f_ext_world)
         # larger trip counts: scan to keep compile time/program size bounded
         def body(st, _):
             st2, c2 = step(st, tau, f_ext_world)

@@ -40,18 +40,26 @@ def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
     inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
     lam_init = jnp.zeros(m, dtype=A.dtype) if lam0 is None else lam0
 
+    # dynamic row indexing keeps the program size O(1) in m (the TPU
+    # compiler chokes on fully unrolled m x iters sweeps); row order is
+    # still the static 0..m-1 order => deterministic
+    fidx = jnp.asarray(np.maximum(findex, 0), dtype=jnp.int32)
+    has_f = jnp.asarray(
+        (findex >= 0).astype(np.float32), dtype=A.dtype
+    )
+    big = jnp.asarray(1e20, dtype=A.dtype)
+
+    def row_update(i, lam):
+        Ai = jax.lax.dynamic_index_in_dim(A, i, axis=0, keepdims=False)
+        w_i = Ai @ lam + b[i]
+        new = lam[i] - w_i * inv_diag[i]
+        bound = mu[i] * lam[fidx[i]] * has_f[i] + big * (1.0 - has_f[i])
+        lo_i = jnp.maximum(lo[i], -bound)
+        hi_i = jnp.minimum(hi[i], bound)
+        new = jnp.clip(new, lo_i, hi_i) * active[i]
+        return lam.at[i].set(new)
+
     def sweep(_, lam):
-        for i in range(m):
-            w_i = A[i] @ lam + b[i]
-            new = lam[i] - w_i * inv_diag[i]
-            if findex[i] >= 0:
-                bound = mu[i] * lam[findex[i]]
-                lo_i = jnp.maximum(lo[i], -bound)
-                hi_i = jnp.minimum(hi[i], bound)
-            else:
-                lo_i, hi_i = lo[i], hi[i]
-            new = jnp.clip(new, lo_i, hi_i) * active[i]
-            lam = lam.at[i].set(new)
-        return lam
+        return jax.lax.fori_loop(0, m, row_update, lam)
 
     return jax.lax.fori_loop(0, iters, sweep, lam_init)
