@@ -36,8 +36,7 @@ import numpy as np
 from dartenv_tpu.collision.narrowphase import Contacts, slot_layout
 from dartenv_tpu.math.linalg import chol, chol_solve
 from dartenv_tpu.model.skel_model import SkelModel
-from dartenv_tpu.lcp.pgs import pgs_solve
-from dartenv_tpu.lcp.dantzig import dantzig_solve
+from dartenv_tpu.lcp.pgs import make_pgs_solver, pgs_solve
 
 
 def tangent_basis(n):
@@ -206,10 +205,8 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     # mask inactive rows out of the operator so they can't pollute pivots
     A = A * active[:, None] * active[None, :] + jnp.diag(1.0 - active)
 
-    if cfg.solver == "pgs":
-        lam = pgs_solve(A, b, lo, hi, layout.findex, mu, active,
-                        iters=cfg.pgs_iters)
-    else:
-        lam = dantzig_solve(A, b, lo, hi, layout.findex, mu, active)
+    iters = cfg.pgs_iters if cfg.solver == "pgs" else 2 * cfg.pgs_iters
+    solver = make_pgs_solver(layout.findex, iters=iters)
+    lam = solver(A, b, lo, hi, mu, active)
     dq_plus = dq_star + MinvJt @ lam
     return dq_plus, lam

@@ -1,0 +1,96 @@
+"""Pallas TPU kernel: batched boxed-LCP projected Gauss-Seidel.
+
+The LCP solve is the step's serial bottleneck (SURVEY.md §3.2 hot loop /
+§7 "batched dense boxed-LCP ... as a Pallas TPU kernel").  The XLA
+formulation (lcp/pgs.py) pays per-op dispatch + HBM traffic for every one
+of m_rows x iters sequential row updates; this kernel keeps the whole
+Delassus block for a tile of envs resident in VMEM and runs the complete
+sweep loop on-core.
+
+Layout: env batch LAST (lanes).  A tile is (m, m, TB) with TB = 128 envs;
+row updates are (m, TB) elementwise multiplies + a sublane reduction —
+pure VPU work at full lane occupancy.  Row order is static => bitwise
+deterministic and identical to the XLA path's sweep order.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TB = 128  # envs per tile (lane width)
+
+
+def _pgs_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, invd_ref,
+                lam_ref, *, findex, iters: int):
+    m = b_ref.shape[0]
+    fidx = np.maximum(findex, 0)
+    has_f = findex >= 0
+
+    lam_ref[...] = jnp.zeros_like(b_ref[...])
+
+    def sweep(_, carry):
+        # lam lives in the output VMEM ref; rows are updated in place
+        for i in range(m):
+            w = jnp.sum(A_ref[i] * lam_ref[...], axis=0) + b_ref[i]
+            new = lam_ref[i] - w * invd_ref[i]
+            if has_f[i]:
+                bound = mu_ref[i] * lam_ref[fidx[i]]
+                lo_i = jnp.maximum(lo_ref[i], -bound)
+                hi_i = jnp.minimum(hi_ref[i], bound)
+            else:
+                lo_i = lo_ref[i]
+                hi_i = hi_ref[i]
+            lam_ref[i] = jnp.clip(new, lo_i, hi_i) * act_ref[i]
+        return carry
+
+    jax.lax.fori_loop(0, iters, sweep, 0)
+
+
+def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30):
+    """Batched solve.  A: (B, m, m); b/lo/hi/mu/active: (B, m); findex is a
+    static numpy (m,) array.  Returns lam (B, m).
+
+    B is padded up to a multiple of TB; the env axis is transposed to the
+    lane dimension around the kernel call.
+    """
+    B, m = b.shape
+    dtype = A.dtype
+    if m == 0:
+        return jnp.zeros((B, 0), dtype=dtype)
+    Bp = ((B + TB - 1) // TB) * TB
+    pad = Bp - B
+
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+
+    def to_lanes(x):
+        if pad:
+            x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return jnp.moveaxis(x, 0, -1)  # (..., Bp)
+
+    A_t = to_lanes(A)         # (m, m, Bp)
+    args = [to_lanes(v) for v in (b, lo, hi, mu, active, inv_diag)]
+
+    grid = (Bp // TB,)
+    block3 = pl.BlockSpec((m, m, TB), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    block2 = pl.BlockSpec((m, TB), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _pgs_kernel, findex=np.asarray(findex), iters=iters
+    )
+    lam_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block3] + [block2] * 6,
+        out_specs=block2,
+        out_shape=jax.ShapeDtypeStruct((m, Bp), dtype),
+    )(A_t, *args)
+    lam = jnp.moveaxis(lam_t, -1, 0)
+    return lam[:B] if pad else lam

@@ -63,3 +63,45 @@ def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
         return jax.lax.fori_loop(0, m, row_update, lam)
 
     return jax.lax.fori_loop(0, iters, sweep, lam_init)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def make_pgs_solver(findex, iters: int):
+    """Boxed-LCP solver for ONE env that redirects a vmapped batch to the
+    Pallas TPU kernel (lcp/pallas_pgs.py) — on TPU the whole (B, m, m)
+    batch is solved in one fused kernel with env batch on the lane axis;
+    elsewhere (and unbatched) the XLA loop above runs."""
+    findex = np.asarray(findex)
+
+    @jax.custom_batching.custom_vmap
+    def solve(A, b, lo, hi, mu, active):
+        return pgs_solve(A, b, lo, hi, findex, mu, active, iters=iters)
+
+    @solve.def_vmap
+    def _batched(axis_size, in_batched, *args):
+        # broadcast env-constant operands (bounds/friction) to the batch
+        args = [
+            a if bat else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, bat in zip(args, in_batched)
+        ]
+        A, b, lo, hi, mu, active = args
+        if _on_tpu() and A.dtype == jnp.float32:
+            from dartenv_tpu.lcp.pallas_pgs import pgs_solve_pallas
+
+            out = pgs_solve_pallas(A, b, lo, hi, findex, mu, active,
+                                   iters=iters)
+        else:
+            out = jax.vmap(
+                lambda Ai, bi, loi, hii, mui, acti: pgs_solve(
+                    Ai, bi, loi, hii, findex, mui, acti, iters=iters
+                )
+            )(A, b, lo, hi, mu, active)
+        return out, True
+
+    return solve
