@@ -140,13 +140,14 @@ def _body_inertias(model: SkelModel):
 
 
 def _fext_body(model: SkelModel, kin: Kin, f_ext_world):
-    """World-frame spatial forces (about each body origin) -> body frame."""
+    """External [torque; force] in world coords APPLIED AT EACH BODY ORIGIN
+    (reference add_ext_force † semantics) -> body-frame spatial force."""
     if f_ext_world is None:
         return None
     n, fl = f_ext_world[..., :3], f_ext_world[..., 3:]
     Rt = jnp.swapaxes(kin.R_w, -1, -2)
     fb = jnp.einsum("bij,bj->bi", Rt, fl)
-    nb = jnp.einsum("bij,bj->bi", Rt, n - jnp.cross(kin.p_w, fl))
+    nb = jnp.einsum("bij,bj->bi", Rt, n)
     return jnp.concatenate([nb, fb], axis=-1)
 
 

@@ -331,20 +331,33 @@ def world_jacobians(model: SkelModel, kin: BKin):
 
 
 def mass_matrix(model: SkelModel, kin: BKin):
-    """M = sum_b J_b I_b^w J_b^T (world-frame assembly)."""
+    """M = sum_b J_b I_b^w J_b^T (world-frame assembly).
+
+    Assembled at highest matmul precision: on TPU, default-f32 matmuls run
+    bf16 passes and the resulting M can lose positive-definiteness (NaN
+    Cholesky downstream).
+    """
     I_b = _body_inertias(model)                     # (nb, 6, 6) body frame
     # push to world origin: I_w = X^T I X with X = motion world->body,
     # X built from E = R_w^T, r = p_w
     X = sp.xmotion_mat(jnp.swapaxes(kin.R_w, -1, -2), kin.p_w)
-    I_w = jnp.einsum("bji,bjk,bkl->bil", X, I_b, X)
+    # mul+reduce contractions: full-f32 VPU math (a default-precision MXU
+    # einsum runs bf16 passes on TPU and the resulting M can lose
+    # positive-definiteness -> NaN Cholesky downstream)
+    IX = jnp.sum(I_b[..., :, :, None] * X[..., None, :, :], axis=-2)
+    I_w = jnp.sum(X[..., :, :, None] * IX[..., :, None, :], axis=-3)
     J = world_jacobians(model, kin)                 # (nb, n, 6)
-    M = jnp.einsum("bni,bij,bmj->nm", J, I_w, J)
+    JI = jnp.sum(J[..., :, :, None] * I_w[..., None, :, :], axis=-2)
+    M = jnp.sum(JI[..., :, None, :] * J[..., None, :, :], axis=(-4, -1))
     return 0.5 * (M + M.T)
 
 
 def bias_forces(model: SkelModel, kin: BKin, f_ext_world=None):
     """C(q, dq): gravity + Coriolis/centrifugal - external, via
-    C = sum_b J_b f_b^w with body-frame Newton-Euler f_b."""
+    C = sum_b J_b f_b^w with body-frame Newton-Euler f_b.
+
+    f_ext_world: (nb, 6) [torque; force] in world coords applied at each
+    body origin (reference add_ext_force † semantics)."""
     I_b = _body_inertias(model)
     f_body = (sp.inertia_mul(I_b, kin.a_bias)
               + sp.crf(kin.v, sp.inertia_mul(I_b, kin.v)))
@@ -352,7 +365,10 @@ def bias_forces(model: SkelModel, kin: BKin, f_ext_world=None):
     f_w = sp.xforce_inv_apply(jnp.swapaxes(kin.R_w, -1, -2), kin.p_w,
                               f_body)
     if f_ext_world is not None:
-        f_w = f_w - f_ext_world
+        n_ext, f_ext = f_ext_world[..., :3], f_ext_world[..., 3:]
+        # shift to world origin for the J^T contraction
+        n0 = n_ext + jnp.cross(kin.p_w, f_ext)
+        f_w = f_w - jnp.concatenate([n0, f_ext], axis=-1)
     J = world_jacobians(model, kin)
     return jnp.einsum("bni,bi->n", J, f_w)
 

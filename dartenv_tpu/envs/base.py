@@ -63,6 +63,10 @@ class Task:
     control_bounds: np.ndarray = np.zeros((2, 0))
     # reset noise: uniform(-s, s) added to q_init/dq_init
     reset_noise: float = 0.01
+    # random external perturbation (reference DartEnv.add_perturbation /
+    # perturbation_parameters = [prob, magnitude, body_id, duration] ‡)
+    add_perturbation: bool = False
+    perturbation_parameters = (0.05, 30.0, 0, 40)
 
     def __init__(self, model: SkelModel):
         self.model = model
@@ -86,6 +90,12 @@ class Task:
     # -- reset -----------------------------------------------------------
     def aux_init(self):
         """Static initial aux pytree (must match aux_reset's structure)."""
+        if self.add_perturbation:
+            dtype = self.model.q_init.dtype
+            return {
+                "perturb_force": jnp.zeros(3, dtype=dtype),
+                "perturb_ttl": jnp.zeros((), dtype=jnp.int32),
+            }
         return ()
 
     def aux_reset(self, key, aux):
@@ -145,12 +155,36 @@ def make_env_step(task: Task):
     def env_step(state: EnvState, action):
         a = jnp.clip(action, lo, hi)
         tau = task.action_to_tau(a, state.aux)
-        sim_new, contacts = do_sim(state.sim, tau)
-        obs = task.obs(sim_new, state.aux)
-        reward = task.reward(state.sim, sim_new, a, contacts, state.aux)
-        done = task.done(sim_new, state.aux)
+        aux, key = state.aux, state.key
+        f_ext = None
+        if task.add_perturbation:
+            # reference DartEnv.do_simulation perturbation logic ‡: when no
+            # perturbation is live, with prob p start one: a +-magnitude
+            # force along a random horizontal axis for `duration` steps
+            prob, mag, body_id, duration = task.perturbation_parameters
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            force = aux["perturb_force"]
+            ttl = aux["perturb_ttl"]
+            start = (ttl <= 0) & (jax.random.uniform(k1, ()) < prob)
+            axis = jax.random.randint(k2, (), 0, 2)
+            sign = (jax.random.randint(k3, (), 0, 2) * 2 - 1).astype(
+                force.dtype
+            )
+            fresh = jnp.zeros_like(force).at[axis].set(sign * mag)
+            live = ttl > 0
+            force = jnp.where(start, fresh,
+                              jnp.where(live, force, jnp.zeros_like(force)))
+            ttl = jnp.where(start, jnp.asarray(duration, jnp.int32),
+                            jnp.maximum(ttl - 1, 0))
+            aux = dict(aux, perturb_force=force, perturb_ttl=ttl)
+            f_ext = jnp.zeros((model.nb, 6), dtype=force.dtype)
+            f_ext = f_ext.at[body_id, 3:].set(force)
+        sim_new, contacts = do_sim(state.sim, tau, f_ext)
+        obs = task.obs(sim_new, aux)
+        reward = task.reward(state.sim, sim_new, a, contacts, aux)
+        done = task.done(sim_new, aux)
         new_state = EnvState(
-            sim=sim_new, aux=state.aux, key=state.key,
+            sim=sim_new, aux=aux, key=key,
             steps=state.steps + 1,
         )
         return new_state, obs, reward, done

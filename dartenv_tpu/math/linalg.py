@@ -8,15 +8,32 @@ elementwise op over the env batch axis (VPU-friendly), with no control flow.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
+# above this size, unrolled graphs bloat compile time; XLA's blocked
+# implementations are compile-size O(1) and batch fine
+_UNROLL_MAX = 12
+
+
 def chol(A, eps: float = 0.0):
-    """Cholesky factor L (lower) of SPD A, unrolled for static n.
+    """Cholesky factor L (lower) of SPD A.
 
     A: (..., n, n).  `eps` is added to the diagonal (regularization / CFM).
+    Small n: trace-time unrolled (pure elementwise ops over the env batch);
+    large n: `jnp.linalg.cholesky` (blocked, compile-size O(1)).
     """
     n = A.shape[-1]
+    if n > _UNROLL_MAX:
+        eye = jnp.eye(n, dtype=A.dtype)
+        # relative jitter in f32: guards PSD-ness against rounding in the
+        # batched assembly (the unrolled path guards via max(s, tiny))
+        rel = 1e-6 if A.dtype == jnp.float32 else 0.0
+        scale = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+        return jnp.linalg.cholesky(
+            A + (eps + rel * scale)[..., None, None] * eye
+        )
     rows = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -46,6 +63,14 @@ def chol_solve(L, b):
     vec = b.ndim == L.ndim - 1
     if vec:
         b = b[..., None]
+    if n > _UNROLL_MAX:
+        y = jax.lax.linalg.triangular_solve(
+            L, b, left_side=True, lower=True, transpose_a=False
+        )
+        x = jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )
+        return x[..., 0] if vec else x
     # forward: L y = b
     y = [None] * n
     for i in range(n):
