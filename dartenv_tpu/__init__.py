@@ -19,6 +19,10 @@ from dartenv_tpu.api.registration import (  # noqa: F401
     make, register, registry, spec,
 )
 from dartenv_tpu.api import seeding  # noqa: F401
+from dartenv_tpu.api.benchmarks import (  # noqa: F401
+    benchmark_spec, register_benchmark,
+)
+from dartenv_tpu.api.wrappers import Monitor, TimeLimit  # noqa: F401
 
 __version__ = "0.1.0"
 

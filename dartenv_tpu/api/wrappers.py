@@ -59,6 +59,13 @@ class TimeLimit(Wrapper):
         return self.env.reset()
 
 
+def capped_cubic_video_schedule(episode_id):
+    """Record on perfect cubes until 1000, then every 1000 episodes †."""
+    if episode_id < 1000:
+        return int(round(episode_id ** (1.0 / 3))) ** 3 == episode_id
+    return episode_id % 1000 == 0
+
+
 class StatsRecorder(object):
     """Episode statistics sink (`gym/monitoring/stats_recorder.py` †)."""
 
@@ -157,8 +164,8 @@ class Monitor(Wrapper):
     """Records episode stats (and later: video) to a results directory
     (`gym/wrappers/monitoring.py` † Monitor)."""
 
-    def __init__(self, env, directory, force=False, resume=False,
-                 uid=None, mode=None, write_upon_reset=False):
+    def __init__(self, env, directory, video_callable=None, force=False,
+                 resume=False, uid=None, mode=None, write_upon_reset=False):
         super(Monitor, self).__init__(env)
         if not os.path.exists(directory):
             os.makedirs(directory)
@@ -180,22 +187,61 @@ class Monitor(Wrapper):
         self.stats_recorder = StatsRecorder(directory, prefix, env_id=env_id)
         self._monitor_id = prefix
         self.enabled = True
+        # video schedule: the reference's capped-cubic default †
+        if video_callable is None:
+            video_callable = capped_cubic_video_schedule
+        elif video_callable is False:
+            video_callable = lambda episode_id: False
+        self.video_callable = video_callable
+        self.video_recorder = None
+        self.videos = []
+        self.episode_id = 0
 
     def _step(self, action):
         self.stats_recorder.before_step(action)
         observation, reward, done, info = self.env.step(action)
         self.stats_recorder.after_step(observation, reward, done, info)
+        if self.video_recorder is not None:
+            self.video_recorder.capture_frame()
         return observation, reward, done, info
 
     def _reset(self):
         self.stats_recorder.before_reset()
         observation = self.env.reset()
         self.stats_recorder.after_reset(observation)
+        self._reset_video_recorder()
+        self.episode_id += 1
         if self.write_upon_reset:
             self.stats_recorder.flush()
         return observation
 
+    def _reset_video_recorder(self):
+        from dartenv_tpu.api.video_recorder import VideoRecorder
+
+        if self.video_recorder is not None:
+            self._close_video_recorder()
+        if not self.video_callable(self.episode_id):
+            self.video_recorder = None
+            return
+        base = os.path.join(
+            self.directory,
+            "{}.video{:06}".format(self._monitor_id, self.episode_id),
+        )
+        self.video_recorder = VideoRecorder(
+            env=self.env, base_path=base,
+            metadata={"episode_id": self.episode_id},
+        )
+        self.video_recorder.capture_frame()
+
+    def _close_video_recorder(self):
+        self.video_recorder.close()
+        if not self.video_recorder.empty and not self.video_recorder.broken:
+            self.videos.append(self.video_recorder.path)
+        self.video_recorder = None
+
     def _close(self):
+        if getattr(self, "video_recorder", None) is not None:
+            self._close_video_recorder()
         if getattr(self, "stats_recorder", None) is not None:
             self.stats_recorder.close()
             self._write_manifest()
@@ -209,7 +255,7 @@ class Monitor(Wrapper):
             json.dump(
                 {
                     "stats": os.path.basename(self.stats_recorder.path),
-                    "videos": [],
+                    "videos": [os.path.basename(v) for v in self.videos],
                     "env_info": {
                         "env_id": self.stats_recorder.env_id,
                     },
