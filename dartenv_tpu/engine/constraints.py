@@ -205,8 +205,12 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     # mask inactive rows out of the operator so they can't pollute pivots
     A = A * active[:, None] * active[None, :] + jnp.diag(1.0 - active)
 
-    iters = cfg.pgs_iters if cfg.solver == "pgs" else 2 * cfg.pgs_iters
-    solver = make_pgs_solver(layout.findex, iters=iters)
-    lam = solver(A, b, lo, hi, mu, active)
+    if cfg.solver == "dantzig":
+        from dartenv_tpu.lcp.dantzig import dantzig_solve
+
+        lam = dantzig_solve(A, b, lo, hi, layout.findex, mu, active)
+    else:
+        solver = make_pgs_solver(layout.findex, iters=cfg.pgs_iters)
+        lam = solver(A, b, lo, hi, mu, active)
     dq_plus = dq_star + MinvJt @ lam
     return dq_plus, lam

@@ -1,15 +1,108 @@
-"""Dantzig-style boxed LCP (reference: ODE `dSolveLCP`,
-`dart/external/odelcpsolver/lcp.cpp` † — SURVEY.md §2.4/§7 "hardest port").
+"""Pivoting boxed-LCP solver: block principal pivoting (Dantzig-class).
 
-Status: the principal-pivoting kernel with a fixed pivot budget is planned
-(Pallas); until it lands, this entry point runs a tighter PGS (more sweeps)
-so `SolverConfig(solver="dantzig")` stays functional.  Complementarity
-residuals are validated in tests either way.
+The reference's default contact solver is ODE's `dSolveLCP` Dantzig
+principal pivoting (`dart/external/odelcpsolver/lcp.cpp` † — SURVEY.md
+§2.4/§7 "hardest port").  Classic Dantzig drives one variable at a time
+with incremental factorization — hostile to fixed-shape SPMD.  This module
+implements the *block* principal pivoting method (Judice-Pires family) for
+the same boxed LCP with ODE `findex` friction coupling:
+
+  repeat (fixed budget):
+    1. x on the clamped sets takes its bound; the free set F solves
+       A_FF x_F = -(b_F + A_F,clamped x_clamped)   (masked dense solve)
+    2. w = A x + b; move rows between sets:
+       F rows outside [lo, hi] -> clamped; clamped rows with in-pointing
+       w -> F
+    3. friction bounds refresh from the current normal impulses
+
+Each iteration is one batched masked Cholesky solve — dense MXU work with
+a static trip count, which is exactly what a TPU wants (compare: PGS does
+m_rows * iters sequential row updates).  Like `dSolveLCP`, the result is an
+*exact* complementarity point when the set sequence converges (typical in
+<= 8 iterations for these contact problems); a PGS polish pass cleans up
+rare non-converged envs.
+
+All shapes static; per-env solve vmapped/batched.
 """
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dartenv_tpu.math.linalg import chol, chol_solve
 from dartenv_tpu.lcp.pgs import pgs_solve
 
+# set labels
+_FREE = 0
+_AT_LO = 1
+_AT_HI = 2
 
-def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 60):
-    return pgs_solve(A, b, lo, hi, findex, mu, active, iters=iters)
+
+def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 12,
+                  polish_iters: int = 10):
+    """Solve one boxed LCP by block principal pivoting.
+
+    A: (m, m) SPD(+cfm); b, lo, hi, mu, active: (m,); findex: static numpy
+    (m,) with -1 for plain rows.  Returns lam (m,).
+    """
+    m = A.shape[-1]
+    dtype = A.dtype
+    if m == 0:
+        return jnp.zeros((0,), dtype=dtype)
+    findex = np.asarray(findex)
+    fidx = jnp.asarray(np.maximum(findex, 0), dtype=jnp.int32)
+    has_f = jnp.asarray((findex >= 0).astype(np.float32), dtype=dtype)
+
+    eye = jnp.eye(m, dtype=dtype)
+    big = jnp.asarray(1e20, dtype=dtype)
+
+    def bounds(x):
+        """findex-coupled boxes from current normal impulses."""
+        fb = mu * x[fidx] * has_f + big * (1.0 - has_f)
+        lo_i = jnp.maximum(lo, -fb)
+        hi_i = jnp.minimum(hi, fb)
+        # inactive rows are pinned to [0, 0]
+        lo_i = lo_i * active
+        hi_i = hi_i * active
+        return lo_i, hi_i
+
+    def body(_, carry):
+        x, state = carry
+        lo_i, hi_i = bounds(x)
+        free = (state == _FREE) & (active > 0.5)
+        fmask = free.astype(dtype)
+        x_fixed = jnp.where(state == _AT_LO, lo_i,
+                            jnp.where(state == _AT_HI, hi_i, 0.0))
+        x_fixed = x_fixed * active * (1.0 - fmask)
+        rhs = -(b + A @ x_fixed) * fmask
+        # masked SPD solve: non-free rows/cols replaced by identity
+        Am = (A * fmask[:, None] * fmask[None, :]
+              + jnp.diag(1.0 - fmask))
+        x_free = chol_solve(chol(Am, eps=1e-12), rhs) * fmask
+        x_new = x_free + x_fixed
+        w = A @ x_new + b
+        # set transitions
+        below = x_new < lo_i - 1e-10
+        above = x_new > hi_i + 1e-10
+        state = jnp.where(free & below, _AT_LO, state)
+        state = jnp.where(free & above, _AT_HI, state)
+        state = jnp.where((state == _AT_LO) & (w < -1e-10), _FREE, state)
+        state = jnp.where((state == _AT_HI) & (w > 1e-10), _FREE, state)
+        # project x onto the box for robustness between iterations
+        x_new = jnp.clip(x_new, lo_i, hi_i)
+        return (x_new, state)
+
+    x0 = jnp.zeros(m, dtype=dtype)
+    # start with every active row clamped at lo (normals at 0 -> natural
+    # warm start: only violated normals enter the free set)
+    w0 = b
+    state0 = jnp.where(
+        (lo == 0.0) & (w0 < 0.0), _FREE, _AT_LO
+    ).astype(jnp.int32)
+    x, state = jax.lax.fori_loop(0, iters, body, (x0, state0))
+    # polish: a few PGS sweeps fix any env whose set sequence didn't close
+    if polish_iters > 0:
+        x = pgs_solve(A, b, lo, hi, findex, mu, active,
+                      iters=polish_iters, lam0=x)
+    return x

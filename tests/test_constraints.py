@@ -56,6 +56,77 @@ def test_pgs_friction_findex():
     assert abs(float(lam[1]) + 1.0) < 1e-5
 
 
+def _boxed_problem(seed, m=9):
+    rng = np.random.RandomState(seed)
+    G = rng.randn(m, m)
+    A = jnp.asarray(G @ G.T + np.eye(m) * 0.5)
+    b = jnp.asarray(rng.randn(m))
+    lo = jnp.asarray(np.where(rng.rand(m) < 0.5, 0.0, -1.0))
+    hi = jnp.asarray(np.where(rng.rand(m) < 0.5, 1e20, 2.0))
+    findex = -np.ones(m, dtype=np.int64)
+    mu = jnp.zeros(m)
+    active = jnp.ones(m)
+    return A, b, lo, hi, findex, mu, active
+
+
+def test_dantzig_complementarity_and_pgs_agreement():
+    """The pivoting solver must reach the same complementarity point PGS
+    converges to (unique for SPD A)."""
+    from dartenv_tpu.lcp.dantzig import dantzig_solve
+
+    for seed in range(8):
+        A, b, lo, hi, findex, mu, active = _boxed_problem(seed)
+        lam_d = dantzig_solve(A, b, lo, hi, findex, mu, active,
+                              polish_iters=0)
+        lam_p = pgs_solve(A, b, lo, hi, findex, mu, active, iters=500)
+        np.testing.assert_allclose(np.asarray(lam_d), np.asarray(lam_p),
+                                   atol=1e-6)
+        w = np.asarray(A @ lam_d + b)
+        lam = np.asarray(lam_d)
+        for i in range(len(lam)):
+            if abs(lam[i] - float(lo[i])) < 1e-8:
+                assert w[i] > -1e-6
+            elif float(hi[i]) < 1e19 and abs(lam[i] - float(hi[i])) < 1e-8:
+                assert w[i] < 1e-6
+            else:
+                assert abs(w[i]) < 1e-6
+
+
+def test_dantzig_friction_findex():
+    from dartenv_tpu.lcp.dantzig import dantzig_solve
+
+    A = jnp.eye(2)
+    b = jnp.asarray([-2.0, 1.5])
+    lo = jnp.asarray([0.0, -1e20])
+    hi = jnp.asarray([1e20, 1e20])
+    findex = np.asarray([-1, 0])
+    mu = jnp.asarray([0.0, 0.5])
+    active = jnp.ones(2)
+    lam = dantzig_solve(A, b, lo, hi, findex, mu, active)
+    assert abs(float(lam[0]) - 2.0) < 1e-5
+    assert abs(float(lam[1]) + 1.0) < 1e-5
+
+
+def test_hopper_runs_with_dantzig_solver():
+    """Engine-level: hopper drop with solver='dantzig' stays finite and
+    rests on its foot like the PGS path."""
+    import jax.numpy as jnp
+    from dartenv_tpu.model.skel_model import SolverConfig
+    from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+
+    world = parse_skel(asset_path("hopper_capsule.skel"),
+                       dtype=jnp.float64,
+                       solver=SolverConfig(solver="dantzig"))
+    model = world.robot
+    step = jax.jit(make_sim_step(model))
+    state = init_state(model)
+    for _ in range(300):
+        state, c = step(state, jnp.zeros(model.n))
+    assert np.all(np.isfinite(np.asarray(state.q)))
+    assert abs(float(state.q[1]) + 0.04) < 0.01   # resting drop ~4 cm
+    assert float(jnp.sum(c.active)) >= 1.0
+
+
 def _limited_pendulum():
     b = ModelBuilder(dt=0.002)
     b.add_body(
