@@ -33,7 +33,7 @@ import numpy as np
 from dartenv_tpu.math import spatial as sp
 from dartenv_tpu.math.linalg import chol, chol_solve
 from dartenv_tpu.model.skel_model import (
-    BALL, EULER, FREE, PLANAR, PRISMATIC, REVOLUTE, SkelModel,
+    BALL, EULER, FREE, PLANAR, PRISMATIC, REVOLUTE, SCREW, SkelModel,
     TRANSLATIONAL, UNIVERSAL, WELD,
 )
 
@@ -114,6 +114,10 @@ def joint_S(model: SkelModel, q):
                 [jnp.zeros_like(ax[:, 0]), ax[:, 0]], axis=-1
             )
             S = S.at[qs].set(rows)
+        elif t == SCREW:
+            # axes[1] = pitch/(2*pi) * axis (skel_model.SCREW convention)
+            rows = jnp.concatenate([ax[:, 0], ax[:, 1]], axis=-1)
+            S = S.at[qs].set(rows)
         elif t == UNIVERSAL:
             q1 = q[qs + 1]
             R2 = _rod(ax[:, 1], q1)
@@ -184,6 +188,9 @@ def joint_transforms(model: SkelModel, q):
             Rj = Rj.at[joints].set(_rod(ax[:, 0], q[qs]))
         elif t == PRISMATIC:
             pj = pj.at[joints].set(ax[:, 0] * q[qs][:, None])
+        elif t == SCREW:
+            Rj = Rj.at[joints].set(_rod(ax[:, 0], q[qs]))
+            pj = pj.at[joints].set(ax[:, 1] * q[qs][:, None])
         elif t == UNIVERSAL:
             Rj = Rj.at[joints].set(
                 _mm(_rod(ax[:, 0], q[qs]), _rod(ax[:, 1], q[qs + 1]))

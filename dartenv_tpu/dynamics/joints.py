@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from dartenv_tpu.math import spatial as sp
 from dartenv_tpu.model.skel_model import (
-    BALL, EULER, FREE, PLANAR, PRISMATIC, REVOLUTE, TRANSLATIONAL, UNIVERSAL,
-    WELD,
+    BALL, EULER, FREE, PLANAR, PRISMATIC, REVOLUTE, SCREW, TRANSLATIONAL,
+    UNIVERSAL, WELD,
 )
 
 
@@ -49,6 +49,17 @@ def _prismatic(axes, q):
     eye = jnp.eye(3, dtype=axes.dtype)
     S = jnp.concatenate([jnp.zeros_like(a), a])[:, None]
     return eye, a * q[0], S
+
+
+def _screw(axes, q):
+    """Screw joint (reference: `dart/dynamics/ScrewJoint.cpp` †): rotation
+    about axes[0] with coupled translation axes[1]*q, where by convention
+    axes[1] = thread_pitch/(2*pi) * axes[0] (set by the parser/builder).
+    S = [a; pitch_vec] is constant in the joint frame."""
+    a = axes[0]
+    R = _rot(a, q[0])
+    S = jnp.concatenate([a, axes[1]])[:, None]
+    return R, axes[1] * q[0], S
 
 
 def _universal(axes, q):
@@ -111,6 +122,7 @@ JOINT_FNS: Dict[int, Callable] = {
     TRANSLATIONAL: _translational,
     PLANAR: _planar,
     FREE: _free,
+    SCREW: _screw,
 }
 
 # joint types whose generalized velocity is a body twist, not q-dot
@@ -122,7 +134,7 @@ def joint_kinematics(jtype: int, axes, qj, dqj) -> Tuple:
     manifold joints (ball/free) S is constant so Sdot = 0."""
     fn = JOINT_FNS[jtype]
     if jtype in _MANIFOLD or jtype in (WELD, REVOLUTE, PRISMATIC,
-                                       TRANSLATIONAL):
+                                       TRANSLATIONAL, SCREW):
         R, p, S = fn(axes, qj)
         return R, p, S, jnp.zeros_like(S)
     (R, p, S), (_, _, Sdot) = jax.jvp(lambda qq: fn(axes, qq), (qj,), (dqj,))

@@ -63,14 +63,18 @@ class RowLayout:
     limit_dofs: tuple
     friction_dofs: tuple
     findex: np.ndarray       # (m,)
-    slot_body: tuple
-    slot_mask: np.ndarray    # (ns, n) ancestor mask per slot
+    slot_body: tuple         # body_a per slot
+    slot_mask: np.ndarray    # (ns, n) SIGNED ancestor mask per slot:
+                             # +mask(body_a) - mask(body_b); world slots have
+                             # body_b = -1 (zero contribution) — common
+                             # ancestors of a self pair cancel exactly, as
+                             # they move both bodies with the same twist
     lim_onehot: np.ndarray   # (nl, n)
     fr_onehot: np.ndarray    # (nf, n)
 
 
 def build_layout(model: SkelModel) -> RowLayout:
-    slot_body, _ = slot_layout(model)
+    slot_body, slot_body_b, _ = slot_layout(model)
     ns = len(slot_body)
     n = model.n
     limited = np.asarray(model.limited) > 0.5
@@ -83,8 +87,13 @@ def build_layout(model: SkelModel) -> RowLayout:
         findex[3 * s + 1] = 3 * s
         findex[3 * s + 2] = 3 * s
     amask = np.asarray(model.ancestor_mask)
-    slot_mask = (amask[np.asarray(slot_body, dtype=np.int64)]
-                 if ns else np.zeros((0, n)))
+    if ns:
+        slot_mask = amask[np.asarray(slot_body, dtype=np.int64)].copy()
+        for s, bb in enumerate(slot_body_b):
+            if bb >= 0:
+                slot_mask[s] -= amask[bb]
+    else:
+        slot_mask = np.zeros((0, n))
     lim_onehot = np.zeros((len(limit_dofs), n))
     for i, d in enumerate(limit_dofs):
         lim_onehot[i, d] = 1.0

@@ -15,7 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from dartenv_tpu.model.skel_model import (
-    JOINT_NDOF, SkelModel, SolverConfig, ancestor_mask_np,
+    JOINT_NDOF, SCREW, SkelModel, SolverConfig, ancestor_mask_np,
     GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE,
 )
 
@@ -83,6 +83,7 @@ class ModelBuilder:
         self._bodies = []       # dicts
         self._geoms = []
         self._wgeoms = []
+        self._self_pairs = []
         self._name_to_idx = {}
 
     # -- bodies/joints ----------------------------------------------------
@@ -99,6 +100,7 @@ class ModelBuilder:
         damping=0.0, spring=0.0, rest=0.0, dof_friction=0.0,
         q_lower=None, q_upper=None,
         q_init=0.0, joint_name: Optional[str] = None,
+        pitch: float = 0.0,
     ) -> str:
         nd = JOINT_NDOF[joint_type]
 
@@ -113,6 +115,11 @@ class ModelBuilder:
         ax = np.zeros((3, 3))
         axes = np.asarray(axes, dtype=np.float64)
         ax[: axes.shape[0]] = axes
+        if joint_type == SCREW:
+            # convention (skel_model.SCREW): axes[1] = pitch/(2*pi) * axis,
+            # i.e. one full turn advances `pitch` along the axis (reference:
+            # dart/dynamics/ScrewJoint.cpp † thread pitch semantics ‡)
+            ax[1] = ax[0] * (float(pitch) / (2.0 * np.pi))
         parent_idx = -1 if parent is None else self._name_to_idx[parent]
         body = dict(
             name=name,
@@ -148,7 +155,7 @@ class ModelBuilder:
     # -- geoms ------------------------------------------------------------
     def add_geom(self, body: str, gtype: int, size,
                  pos=(0, 0, 0), rot=None, friction: float = 1.0,
-                 restitution: float = 0.0, collide: bool = True):
+                 restitution: float = 0.0, collide: bool = True) -> int:
         s = np.zeros(3)
         size = np.atleast_1d(np.asarray(size, dtype=np.float64))
         s[: size.shape[0]] = size
@@ -159,6 +166,13 @@ class ModelBuilder:
             friction=float(friction), restitution=float(restitution),
             collide=bool(collide),
         ))
+        return len(self._geoms) - 1
+
+    def add_self_pair(self, geom_a: int, geom_b: int):
+        """Register a robot-geom-vs-robot-geom collision pair (reference:
+        Skeleton::enableSelfCollisionCheck † — here pairs are explicit so
+        adjacent-body exclusion is the caller's choice)."""
+        self._self_pairs.append((int(geom_a), int(geom_b)))
 
     def add_ground(self, normal=(0, 1, 0), offset: float = 0.0,
                    friction: float = 1.0, restitution: float = 0.0):
@@ -212,7 +226,7 @@ class ModelBuilder:
             body_names=tuple(b["name"] for b in self._bodies),
             joint_names=tuple(b["joint_name"] for b in self._bodies),
             world_pairs=tuple(world_pairs),
-            self_pairs=(),
+            self_pairs=tuple(self._self_pairs),
             dt=self.dt, name=self.name, solver=self.solver,
             pj_rot=a(stack("pj_rot", (3, 3))), pj_pos=a(stack("pj_pos", (3,))),
             cj_rot=a(stack("cj_rot", (3, 3))), cj_pos=a(stack("cj_pos", (3,))),

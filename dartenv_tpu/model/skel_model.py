@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 
 # --- joint types (mirror of the reference's joint hierarchy,
-#     `dart/dynamics/*Joint.cpp` †: Weld/Revolute/Prismatic/Universal/Euler/
-#     Ball/Translational/Planar/Free; Screw omitted — unused by the tasks) ---
+#     `dart/dynamics/*Joint.cpp` †: Weld/Revolute/Prismatic/Screw/Universal/
+#     Euler/Ball/Translational/Planar/Free) ---
 WELD = 0
 REVOLUTE = 1
 PRISMATIC = 2
@@ -34,6 +34,8 @@ BALL = 5           # q = so(3) exp coords, dq = body angular velocity
 TRANSLATIONAL = 6
 PLANAR = 7         # dofs [t1, t2, rot]; axes rows [e1, e2, e_rot]
 FREE = 8           # q = [so(3) exp coords, xyz], dq = body twist [w, v]
+SCREW = 9          # rotation about axes[0] + coupled translation; convention:
+                   # axes[1] = thread_pitch/(2*pi) * axes[0]
 
 JOINT_NDOF = {
     WELD: 0,
@@ -45,6 +47,7 @@ JOINT_NDOF = {
     TRANSLATIONAL: 3,
     PLANAR: 3,
     FREE: 6,
+    SCREW: 1,
 }
 
 # geometry types

@@ -38,6 +38,7 @@ _JOINT_TYPES = {
     "translational": sm.TRANSLATIONAL,
     "planar": sm.PLANAR,
     "free": sm.FREE,
+    "screw": sm.SCREW,
 }
 
 _PLANES = {
@@ -384,6 +385,8 @@ def _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver):
             q_upper=_fit(uppers, 1e16) if has_any_limit else None,
             q_init=q0,
             joint_name=joint.get("name", bname + "_joint"),
+            pitch=(float(joint.find("thread_pitch").text)
+                   if joint.find("thread_pitch") is not None else 0.0),
         )
         for s, _col in shapes:
             if _col:
