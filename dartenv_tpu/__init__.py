@@ -72,3 +72,27 @@ register(
     entry_point="dartenv_tpu.envs.human_walker:DartHumanWalkerEnv",
     max_episode_steps=300,
 )
+
+register(
+    id="DartReacher2d-v1",
+    entry_point="dartenv_tpu.envs.reacher2d:DartReacher2dEnv",
+    max_episode_steps=500,
+)
+
+register(
+    id="DartSnake7Link-v1",
+    entry_point="dartenv_tpu.envs.snake_7link:DartSnake7LinkEnv",
+    max_episode_steps=1000,
+)
+
+register(
+    id="DartWalker3d-v1",
+    entry_point="dartenv_tpu.envs.walker3d:DartWalker3dEnv",
+    max_episode_steps=1000,
+)
+
+register(
+    id="DartDog-v1",
+    entry_point="dartenv_tpu.envs.dog:DartDogEnv",
+    max_episode_steps=1000,
+)
