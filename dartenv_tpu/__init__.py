@@ -23,6 +23,10 @@ from dartenv_tpu.api.benchmarks import (  # noqa: F401
     benchmark_spec, register_benchmark,
 )
 from dartenv_tpu.api.wrappers import Monitor, TimeLimit  # noqa: F401
+from dartenv_tpu.api.configuration import (  # noqa: F401
+    logger_setup, undo_logger_setup,
+)
+from dartenv_tpu.api import scoreboard  # noqa: F401
 
 __version__ = "0.1.0"
 

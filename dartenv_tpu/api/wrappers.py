@@ -133,10 +133,14 @@ class StatsRecorder(object):
         self.episode_types.append(self._type)
 
     def save_complete(self):
+        # reference semantics †: after saving, null the accumulators so a
+        # following close()/reset cannot double-count the episode
         if self.steps is not None:
             self.timestamps.append(time.time())
             self.episode_lengths.append(self.steps)
             self.episode_rewards.append(float(self.rewards))
+            self.steps = None
+            self.rewards = None
 
     def close(self):
         self.save_complete()

@@ -29,6 +29,10 @@ _TASKS = {
     "walker2d": ("dartenv_tpu.envs.walker2d", "make_walker2d_task"),
     "humanwalker": ("dartenv_tpu.envs.human_walker",
                     "make_humanwalker_task"),
+    "reacher2d": ("dartenv_tpu.envs.reacher2d", "make_reacher2d_task"),
+    "snake7link": ("dartenv_tpu.envs.snake_7link", "make_snake7link_task"),
+    "walker3d": ("dartenv_tpu.envs.walker3d", "make_walker3d_task"),
+    "dog": ("dartenv_tpu.envs.dog", "make_dog_task"),
 }
 
 
@@ -55,7 +59,8 @@ def random_policy(task):
 
 def bench_env(name: str = "walker2d", batch: int = 4096,
               horizon: int = 100, iters: int = 5,
-              max_episode_steps: int = 1000, devices=None):
+              max_episode_steps: int = 1000, devices=None,
+              profile_dir: Optional[str] = None):
     """Returns dict with env-steps/s and timing detail."""
     from dartenv_tpu.parallel.rollout import make_rollout
     from dartenv_tpu.parallel.sharding import (
@@ -87,6 +92,14 @@ def bench_env(name: str = "walker2d", batch: int = 4096,
     state, stats = rollout(None, state, key)
     jax.block_until_ready(stats.returns_sum)
     compile_s = time.perf_counter() - t0
+
+    if profile_dir:
+        # one profiled iteration; the engine's named scopes (dynamics /
+        # collision / constraints / integrate) show up per-phase in
+        # TensorBoard/XProf (SURVEY.md §5.1)
+        with jax.profiler.trace(profile_dir):
+            state, stats = rollout(None, state, key)
+            jax.block_until_ready(stats.returns_sum)
 
     times = []
     for i in range(iters):
@@ -122,9 +135,12 @@ def main(argv=None):
     p.add_argument("--horizon", type=int, default=100)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of one iteration here")
     args = p.parse_args(argv)
 
-    r = bench_env(args.env, args.batch, args.horizon, args.iters)
+    r = bench_env(args.env, args.batch, args.horizon, args.iters,
+                  profile_dir=args.profile_dir)
     per_chip = r["env_steps_per_s_per_chip"]
     line = {
         "metric": f"env-steps/s/chip (batched Dart{args.env.capitalize()},"

@@ -67,16 +67,22 @@ def make_sim_step(model: SkelModel) -> Callable:
     dt = model.dt
 
     def step(state: SimState, tau, f_ext_world=None):
+        # named scopes give per-phase attribution in jax.profiler/XProf
+        # traces (SURVEY.md §5.1 — the reference has no profiling hooks)
         q, dq = state.q, state.dq
-        kin = batched.bkin(model, q, dq)
-        ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt,
-                                          f_ext_world)
-        dq_star = dq + dt * ddq
-        contacts = collide(model, kin.R_w, kin.p_w)
-        dq_plus, _lam = solve_constraints(
-            model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
-        )
-        q_new = integrate_positions(model, q, dq_plus, dt)
+        with jax.named_scope("dynamics"):
+            kin = batched.bkin(model, q, dq)
+            ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt,
+                                              f_ext_world)
+            dq_star = dq + dt * ddq
+        with jax.named_scope("collision"):
+            contacts = collide(model, kin.R_w, kin.p_w)
+        with jax.named_scope("constraints"):
+            dq_plus, _lam = solve_constraints(
+                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
+            )
+        with jax.named_scope("integrate"):
+            q_new = integrate_positions(model, q, dq_plus, dt)
         return SimState(q=q_new, dq=dq_plus, time=state.time + dt), contacts
 
     return step
