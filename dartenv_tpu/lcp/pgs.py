@@ -65,7 +65,24 @@ def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
     return jax.lax.fori_loop(0, iters, sweep, lam_init)
 
 
+# Harness override: 'cpu' forces the XLA path, 'tpu' forces Pallas.  Needed
+# when the computation targets a mesh on a platform other than the default
+# backend (e.g. a virtual CPU mesh while a tunneled TPU chip is the default
+# device) — the gate below runs at trace time and cannot see tracer devices.
+PLATFORM_OVERRIDE = None
+
+
 def _on_tpu() -> bool:
+    if PLATFORM_OVERRIDE is not None:
+        return PLATFORM_OVERRIDE == "tpu"
+    try:
+        # an ambient `with mesh:` scope pins the target platform
+        from jax._src.mesh import thread_resources
+        m = thread_resources.env.physical_mesh
+        if m.devices is not None and m.devices.size:
+            return m.devices.flat[0].platform in ("tpu", "axon")
+    except Exception:
+        pass
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
