@@ -78,6 +78,14 @@ register(
 )
 
 register(
+    id="DartDoubleInvertedPendulum-v1",
+    entry_point="dartenv_tpu.envs.double_pendulum:"
+                "DartDoubleInvertedPendulumEnv",
+    max_episode_steps=1000,
+    reward_threshold=9100.0,
+)
+
+register(
     id="DartReacher2d-v1",
     entry_point="dartenv_tpu.envs.reacher2d:DartReacher2dEnv",
     max_episode_steps=500,

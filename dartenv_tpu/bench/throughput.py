@@ -30,6 +30,8 @@ _TASKS = {
     "humanwalker": ("dartenv_tpu.envs.human_walker",
                     "make_humanwalker_task"),
     "reacher2d": ("dartenv_tpu.envs.reacher2d", "make_reacher2d_task"),
+    "doublependulum": ("dartenv_tpu.envs.double_pendulum",
+                       "make_double_pendulum_task"),
     "snake7link": ("dartenv_tpu.envs.snake_7link", "make_snake7link_task"),
     "walker3d": ("dartenv_tpu.envs.walker3d", "make_walker3d_task"),
     "dog": ("dartenv_tpu.envs.dog", "make_dog_task"),
