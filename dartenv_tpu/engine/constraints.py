@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -207,6 +208,45 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
         model, layout, phi, q, dq_before, dq_star, contacts, dt
     )
 
+    # ---- active-set compaction (contact_cap) ----------------------------
+    # The reference assembles LCP rows only for contacts that actually
+    # collided (ConstraintSolver †); with static XLA shapes we instead
+    # gather the best `cap` slots (active first, then deepest) and solve
+    # the small dense system — identical result whenever the number of
+    # simultaneously active slots fits the cap.
+    ns = layout.contact_slots
+    cap = int(cfg.contact_cap)
+    findex = layout.findex
+    row_sel = None
+    if cap and 0 < cap < ns:
+        score = contacts.active * 1e4 + contacts.depth
+        _, slot_idx = jax.lax.top_k(score, cap)        # (cap,)
+        # restore original slot order: PGS is order-dependent, so the
+        # capped sweep must visit surviving rows in the uncapped order to
+        # reproduce the uncapped solution exactly
+        slot_idx = jnp.sort(slot_idx)
+        crow = (slot_idx[:, None] * 3
+                + jnp.arange(3, dtype=slot_idx.dtype)[None, :]).reshape(-1)
+        tail = jnp.arange(3 * ns, m, dtype=slot_idx.dtype)
+        row_sel = jnp.concatenate([crow, tail])
+        # selection as a one-hot matrix: TPU hates dynamic gathers on the
+        # hot path; S @ x lowers to an MXU matmul instead
+        m_c = row_sel.shape[0]
+        sel = (row_sel[:, None]
+               == jnp.arange(m, dtype=row_sel.dtype)[None, :]).astype(dtype)
+        J = sel @ J
+        b, lo, hi = sel @ b, sel @ lo, sel @ hi
+        active, mu = sel @ active, sel @ mu
+        # compacted findex is static: (n, t1, t2) blocks then plain tail
+        n_tail = m - 3 * ns
+        findex = np.concatenate([
+            np.stack([-np.ones(cap, np.int64),
+                      3 * np.arange(cap),
+                      3 * np.arange(cap)], axis=1).reshape(-1),
+            -np.ones(n_tail, np.int64),
+        ])
+        m = 3 * cap + n_tail
+
     L = chol(M, eps=1e-10)
     MinvJt = chol_solve(L, J.T)            # (n, m)
     A = J @ MinvJt
@@ -217,9 +257,11 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     if cfg.solver == "dantzig":
         from dartenv_tpu.lcp.dantzig import dantzig_solve
 
-        lam = dantzig_solve(A, b, lo, hi, layout.findex, mu, active)
+        lam = dantzig_solve(A, b, lo, hi, findex, mu, active)
     else:
-        solver = make_pgs_solver(layout.findex, iters=cfg.pgs_iters)
+        solver = make_pgs_solver(findex, iters=cfg.pgs_iters)
         lam = solver(A, b, lo, hi, mu, active)
     dq_plus = dq_star + MinvJt @ lam
+    if row_sel is not None:
+        lam = sel.T @ lam          # scatter back to the full row stack
     return dq_plus, lam

@@ -56,10 +56,13 @@ def integrate_positions(model: SkelModel, q, dq, dt):
     return batched.integrate_positions(model, q, dq, dt)
 
 
-def make_sim_step(model: SkelModel) -> Callable:
+def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     """Build the single-substep function for a model.
 
-    Returns step(state, tau, f_ext_world=None) -> (state', Contacts).
+    Returns step(state, tau, f_ext_world=None) -> (state', Contacts), or
+    (state', (Contacts, lam)) with the LCP impulse vector when
+    `return_impulses` (used by the OO facade's collision_result † and the
+    validation tracer; the production env path keeps the lean signature).
     `tau` is the full-dof generalized force vector (root dofs zeroed by the
     env layer, matching the reference's set_forces semantics †).
     """
@@ -78,20 +81,22 @@ def make_sim_step(model: SkelModel) -> Callable:
         with jax.named_scope("collision"):
             contacts = collide(model, kin.R_w, kin.p_w)
         with jax.named_scope("constraints"):
-            dq_plus, _lam = solve_constraints(
+            dq_plus, lam = solve_constraints(
                 model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
             )
         with jax.named_scope("integrate"):
             q_new = integrate_positions(model, q, dq_plus, dt)
-        return SimState(q=q_new, dq=dq_plus, time=state.time + dt), contacts
+        out = (contacts, lam) if return_impulses else contacts
+        return SimState(q=q_new, dq=dq_plus, time=state.time + dt), out
 
     return step
 
 
-def make_do_simulation(model: SkelModel, frame_skip: int) -> Callable:
+def make_do_simulation(model: SkelModel, frame_skip: int,
+                       return_impulses: bool = False) -> Callable:
     """frame_skip substeps with the same tau (reference:
     DartEnv.do_simulation † — same tau each substep, SURVEY.md §2.2)."""
-    step = make_sim_step(model)
+    step = make_sim_step(model, return_impulses=return_impulses)
 
     def do_sim(state: SimState, tau, f_ext_world=None):
         if frame_skip == 1:

@@ -217,7 +217,8 @@ class DartEnv(core.Env):
         self.model = task.model
         self.frame_skip = task.frame_skip
         self._env_step = jax.jit(make_env_step(task))
-        self._do_sim = jax.jit(make_do_simulation(task.model, task.frame_skip))
+        self._do_sim = jax.jit(make_do_simulation(
+            task.model, task.frame_skip, return_impulses=True))
 
         m = task.action_size
         self.action_space = spaces.Box(
@@ -237,6 +238,77 @@ class DartEnv(core.Env):
         self._viewer = None
         self._seed()
         self._state = None
+        # pydart2-parity surfaces (envs/facade.py): staged forces and the
+        # last substep's manifold + impulses back collision_result †
+        self._staged_tau = None
+        self._pending_fext = None
+        self._last_contacts = None
+        self._last_lam = None
+        self._robot_skeleton = None
+        self._world_facade = None
+
+    # -- pydart2-style facade (reference: pydart2 World/Skeleton †) -------
+    @property
+    def robot_skeleton(self):
+        if self._robot_skeleton is None:
+            from dartenv_tpu.envs.facade import Skeleton
+            self._robot_skeleton = Skeleton(self)
+        return self._robot_skeleton
+
+    @property
+    def world(self):
+        if self._world_facade is None:
+            from dartenv_tpu.envs.facade import WorldFacade
+            self._world_facade = WorldFacade(self)
+        return self._world_facade
+
+    def _add_ext_force(self, body_id, force, offset=(0.0, 0.0, 0.0)):
+        """Stage a world-frame force at a body-frame offset for the next
+        do_simulation (reference: BodyNode.add_ext_force †).  Torque about
+        the body origin = (R offset) x F."""
+        import numpy as _np
+        from dartenv_tpu.dynamics.algorithms import fk_positions
+
+        if self._pending_fext is None:
+            self._pending_fext = _np.zeros((self.model.nb, 6))
+        R_w, _ = fk_positions(self.model, self._state.sim.q)
+        arm = _np.asarray(R_w[body_id]) @ _np.asarray(offset, dtype=_np.float64)
+        f = _np.asarray(force, dtype=_np.float64)
+        self._pending_fext[body_id, :3] += _np.cross(arm, f)
+        self._pending_fext[body_id, 3:] += f
+
+    def _collision_result(self):
+        from dartenv_tpu.envs.facade import CollisionResult, Contact
+
+        contacts = self._last_contacts
+        if contacts is None:
+            # no step yet: collide at the current configuration
+            from dartenv_tpu.collision.narrowphase import collide
+            from dartenv_tpu.dynamics.algorithms import fk_positions
+            R_w, p_w = fk_positions(self.model, self._state.sim.q)
+            contacts = collide(self.model, R_w, p_w)
+        import numpy as _np
+        from dartenv_tpu.engine.constraints import build_layout
+        layout = build_layout(self.model)
+        active = _np.asarray(contacts.active) > 0.5
+        pos = _np.asarray(contacts.pos)
+        normal = _np.asarray(contacts.normal)
+        depth = _np.asarray(contacts.depth)
+        nc = active.shape[0]
+        lam = (_np.asarray(self._last_lam)
+               if self._last_lam is not None else _np.zeros(layout.m))
+        out = []
+        dt = float(self.model.dt)
+        for k in range(nc):
+            if not active[k]:
+                continue
+            # rows [3k, 3k+1, 3k+2] = (normal, t1, t2) impulses; the facade
+            # reports the normal-direction force (tangent basis is not
+            # exposed here; magnitude via lam if needed)
+            f = normal[k] * (lam[3 * k] / dt)
+            out.append(Contact(pos[k], normal[k], f, float(depth[k]),
+                               layout.slot_body[k]))
+        return CollisionResult(out)
 
     # -- gym plumbing ----------------------------------------------------
     @property
@@ -275,11 +347,18 @@ class DartEnv(core.Env):
         if n_frames == self.frame_skip:
             do = self._do_sim
         else:
-            do = jax.jit(_mk(self.model, n_frames))
-        sim, contacts = do(
-            self._state.sim, jnp.asarray(tau, dtype=self.model.q_init.dtype)
+            do = jax.jit(_mk(self.model, n_frames, return_impulses=True))
+        dtype = self.model.q_init.dtype
+        fext = None
+        if self._pending_fext is not None:
+            fext = jnp.asarray(self._pending_fext, dtype=dtype)
+            self._pending_fext = None  # cleared each step, pydart2-style †
+        sim, (contacts, lam) = do(
+            self._state.sim, jnp.asarray(tau, dtype=dtype), fext
         )
         self._state = dataclasses.replace(self._state, sim=sim)
+        self._last_contacts = contacts
+        self._last_lam = lam
         return contacts
 
     def _step(self, action):

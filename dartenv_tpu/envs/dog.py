@@ -59,7 +59,13 @@ class DogTask(Task):
 
 def make_dog_task(dtype=jnp.float32) -> DogTask:
     world = parse_skel(asset_path("dog.skel"), dtype=dtype)
-    return DogTask(world.robot)
+    import dataclasses
+    # LCP active-set cap (see SolverConfig.contact_cap): at most
+    # 8 simultaneously active contact slots for this morphology
+    model = world.robot.replace(
+        solver=dataclasses.replace(world.robot.solver, contact_cap=8)
+    )
+    return DogTask(model)
 
 
 class DartDogEnv(DartEnv):

@@ -72,7 +72,13 @@ class HopperTask(Task):
 
 def make_hopper_task(dtype=jnp.float32) -> HopperTask:
     world = parse_skel(asset_path("hopper_capsule.skel"), dtype=dtype)
-    return HopperTask(world.robot)
+    import dataclasses
+    # LCP active-set cap (see SolverConfig.contact_cap): at most
+    # 4 simultaneously active contact slots for this morphology
+    model = world.robot.replace(
+        solver=dataclasses.replace(world.robot.solver, contact_cap=4)
+    )
+    return HopperTask(model)
 
 
 class DartHopperEnv(DartEnv):

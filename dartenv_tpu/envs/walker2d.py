@@ -62,7 +62,13 @@ class Walker2dTask(Task):
 
 def make_walker2d_task(dtype=jnp.float32) -> Walker2dTask:
     world = parse_skel(asset_path("walker2d.skel"), dtype=dtype)
-    return Walker2dTask(world.robot)
+    import dataclasses
+    # LCP active-set cap (see SolverConfig.contact_cap): at most
+    # 6 simultaneously active contact slots for this morphology
+    model = world.robot.replace(
+        solver=dataclasses.replace(world.robot.solver, contact_cap=6)
+    )
+    return Walker2dTask(model)
 
 
 class DartWalker2dEnv(DartEnv):

@@ -61,7 +61,13 @@ class Walker3dTask(Task):
 
 def make_walker3d_task(dtype=jnp.float32) -> Walker3dTask:
     world = parse_skel(asset_path("walker3d.skel"), dtype=dtype)
-    return Walker3dTask(world.robot)
+    import dataclasses
+    # LCP active-set cap (see SolverConfig.contact_cap): at most
+    # 8 simultaneously active contact slots for this morphology
+    model = world.robot.replace(
+        solver=dataclasses.replace(world.robot.solver, contact_cap=8)
+    )
+    return Walker3dTask(model)
 
 
 class DartWalker3dEnv(DartEnv):

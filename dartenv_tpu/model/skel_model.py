@@ -72,6 +72,14 @@ class SolverConfig:
     pgs_iters: int = dataclasses.field(default=30, metadata=dict(static=True))
     solver: str = dataclasses.field(default="pgs", metadata=dict(static=True))
     contact_eps: float = dataclasses.field(default=1e-6, metadata=dict(static=True))
+    # Active-set compaction: solve the LCP over only the `contact_cap`
+    # best contact slots (active-first, deepest-first).  The reference's
+    # island/active-row assembly (ConstraintSolver † builds rows only for
+    # COLLIDING contacts) made the LCP small; under fixed XLA shapes the
+    # equivalent is this static cap.  0 disables.  Semantics are identical
+    # whenever <= contact_cap slots are simultaneously active (the usual
+    # case: the capsule/box feet of these tasks yield 2-4 points).
+    contact_cap: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def _static(default=None):

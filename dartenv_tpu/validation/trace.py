@@ -25,37 +25,18 @@ class Trace:
     meta: Optional[Dict[str, Any]] = None
 
 
-def _instrumented_step(model):
-    """Like engine.world.make_sim_step but returning the impulse vector."""
-    from dartenv_tpu.dynamics import batched
-    from dartenv_tpu.engine.constraints import build_layout, solve_constraints
-    from dartenv_tpu.engine.world import SimState, integrate_positions
-    from dartenv_tpu.collision.narrowphase import collide
-
-    layout = build_layout(model)
-    dt = model.dt
-
-    def step(state, tau):
-        q, dq = state.q, state.dq
-        kin = batched.bkin(model, q, dq)
-        ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt, None)
-        dq_star = dq + dt * ddq
-        contacts = collide(model, kin.R_w, kin.p_w)
-        dq_plus, lam = solve_constraints(
-            model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
-        )
-        q_new = integrate_positions(model, q, dq_plus, dt)
-        return SimState(q=q_new, dq=dq_plus, time=state.time + dt), lam
-
-    return step, layout
-
-
 def capture_trace(model, q0, dq0, tau_seq) -> Trace:
     """Drive the engine with a (T, n) tau sequence (one tau per SUBSTEP),
     recording post-substep (q, dq, lam).  Runs jitted; results on host."""
-    from dartenv_tpu.engine.world import SimState
+    from dartenv_tpu.engine.constraints import build_layout
+    from dartenv_tpu.engine.world import SimState, make_sim_step
 
-    step, layout = _instrumented_step(model)
+    raw_step = make_sim_step(model, return_impulses=True)
+    layout = build_layout(model)
+
+    def step(state, tau):
+        st2, (_contacts, lam) = raw_step(state, tau)
+        return st2, lam
     dtype = jnp.asarray(model.mass).dtype
     state = SimState(
         q=jnp.asarray(q0, dtype=dtype),

@@ -1,0 +1,114 @@
+"""Phase-level cost decomposition of the walker2d substep on the live chip.
+
+Times scan-100 loops of ablated substeps to attribute cost:
+  full        — production sim_step
+  no_solve    — dynamics + collision + assembly, PGS replaced by zeros
+  no_constr   — dynamics only (skip collision + constraints)
+  fd_only     — batched forward dynamics (ABA) alone
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dartenv_tpu.dynamics import batched
+from dartenv_tpu.engine.constraints import (
+    assemble_rows, build_layout, solve_constraints,
+)
+from dartenv_tpu.engine.world import SimState, integrate_positions
+from dartenv_tpu.collision.narrowphase import collide
+from dartenv_tpu.envs.walker2d import make_walker2d_task
+
+
+def timed(fn, state, tau, iters=3):
+    out = fn(state, tau)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(state, tau)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main(batch=4096, nsteps=100):
+    task = make_walker2d_task(dtype=jnp.float32)
+    model = task.model
+    layout = build_layout(model)
+    dt = model.dt
+    print(f"LCP rows m={layout.m} contacts={layout.contact_slots} "
+          f"limits={len(layout.limit_dofs)} fric={len(layout.friction_dofs)}")
+
+    def substep(state, tau, mode):
+        q, dq = state.q, state.dq
+        kin = batched.bkin(model, q, dq)
+        ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt, None)
+        dq_star = dq + dt * ddq
+        if mode == "fd_only":
+            return SimState(q=q, dq=dq_star, time=state.time + dt)
+        if mode == "no_constr":
+            q_new = integrate_positions(model, q, dq_star, dt)
+            return SimState(q=q_new, dq=dq_star, time=state.time + dt)
+        contacts = collide(model, kin.R_w, kin.p_w)
+        if mode == "no_lcp":
+            # assembly + A-build, but lam = 0 (isolates the PGS solve cost)
+            from dartenv_tpu.engine.constraints import assemble_rows
+            from dartenv_tpu.math.linalg import chol, chol_solve
+            J, b, lo, hi, act, mu = assemble_rows(
+                model, layout, kin.phi, q, dq, dq_star, contacts, dt)
+            L = chol(M, eps=1e-10)
+            MinvJt = chol_solve(L, J.T)
+            A = J @ MinvJt
+            dq_plus = dq_star + MinvJt @ (0.0 * b + 1e-12 * A[:, 0])
+            return SimState(q=integrate_positions(model, q, dq_plus, dt),
+                            dq=dq_plus, time=state.time + dt)
+        if mode == "no_collide_cost":
+            dq_plus = dq_star + 1e-12 * contacts.depth.sum()
+            return SimState(q=integrate_positions(model, q, dq_plus, dt),
+                            dq=dq_plus, time=state.time + dt)
+        if mode == "no_solve":
+            # assembly cost without the pallas solve: touch the rows
+            from dartenv_tpu.engine import constraints as C
+            import jax.numpy as jnp2
+            dq_plus, lam = solve_constraints(
+                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+            )
+            del lam
+            # cheat: use dq_star (assembly still executed via dq_plus dep?)
+            return SimState(q=integrate_positions(model, q, dq_star, dt),
+                            dq=dq_star + 0 * dq_plus,
+                            time=state.time + dt)
+        dq_plus, _ = solve_constraints(
+            model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+        )
+        q_new = integrate_positions(model, q, dq_plus, dt)
+        return SimState(q=q_new, dq=dq_plus, time=state.time + dt)
+
+    results = {}
+    for mode in ["no_constr", "no_collide_cost", "no_lcp", "full"]:
+        step_b = jax.vmap(lambda s, t, mode=mode: substep(s, t, mode))
+
+        def rollout(state, tau, step_b=step_b):
+            def body(st, _):
+                return step_b(st, tau), ()
+            st, _ = jax.lax.scan(body, state, None, length=nsteps)
+            return st.q
+
+        fn = jax.jit(rollout)
+        q0 = jnp.tile(model.q_init[None], (batch, 1))
+        dq0 = jnp.zeros_like(q0)
+        state = SimState(q=q0, dq=dq0,
+                         time=jnp.zeros((batch,), dtype=q0.dtype))
+        tau = jnp.zeros((batch, model.n), dtype=q0.dtype)
+        t = timed(fn, state, tau)
+        per = t / (batch * nsteps) * 1e9
+        results[mode] = t
+        print(f"{mode:10s}: {t*1e3:8.2f} ms  ({per:7.1f} ns/env-substep)")
+    print(f"constraints total: {(results['full']-results['no_constr'])*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    import sys
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    main(batch=b)
