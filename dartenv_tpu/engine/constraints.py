@@ -191,12 +191,15 @@ def assemble_rows(model: SkelModel, layout: RowLayout, phi, q,
 
 
 def solve_constraints(model: SkelModel, layout: RowLayout, phi,
-                      M, q, dq_before, dq_star, contacts: Contacts, dt):
+                      M, q, dq_before, dq_star, contacts: Contacts, dt,
+                      lam_prev=None):
     """Assemble + solve the per-env boxed LCP; returns (dq_plus, lam).
 
     phi: (n, 6) world-frame dof columns (BKin.phi).
     dq_before: velocities at collision time (for restitution),
     dq_star:   post-smooth-dynamics predicted velocities.
+    lam_prev:  (layout.m,) impulses from the previous substep to warm-start
+               PGS, or None for a cold start.
     """
     m = layout.m
     dtype = dq_star.dtype
@@ -254,13 +257,21 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     # mask inactive rows out of the operator so they can't pollute pivots
     A = A * active[:, None] * active[None, :] + jnp.diag(1.0 - active)
 
+    if lam_prev is not None:
+        lam0 = sel @ lam_prev if row_sel is not None else lam_prev
+        # warm-started impulses must respect the current active set
+        lam0 = lam0 * active
+    else:
+        lam0 = jnp.zeros_like(b)
+
     if cfg.solver == "dantzig":
         from dartenv_tpu.lcp.dantzig import dantzig_solve
 
         lam = dantzig_solve(A, b, lo, hi, findex, mu, active)
     else:
-        solver = make_pgs_solver(findex, iters=cfg.pgs_iters)
-        lam = solver(A, b, lo, hi, mu, active)
+        solver = make_pgs_solver(findex, iters=cfg.pgs_iters,
+                                 omega=cfg.pgs_omega)
+        lam = solver(A, b, lo, hi, mu, active, lam0)
     dq_plus = dq_star + MinvJt @ lam
     if row_sel is not None:
         lam = sel.T @ lam          # scatter back to the full row stack

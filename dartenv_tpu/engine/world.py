@@ -40,16 +40,28 @@ class SimState:
     q: Any
     dq: Any
     time: Any
+    # previous-substep LCP impulses (m,), or None to disable warm starting.
+    # Impulses are strongly correlated across substeps (persistent
+    # contacts), so seeding PGS with them roughly halves the sweeps needed
+    # for the same residual.  The reference's ODE-lineage solver family
+    # warm-starts the same way; None keeps the reference's cold-start
+    # semantics for validation.
+    lam: Any = None
 
     def state_vector(self):
         """concat(q, dq) — parity with DartEnv.state_vector() †."""
         return jnp.concatenate([self.q, self.dq], axis=-1)
 
 
-def init_state(model: SkelModel, dtype=None) -> SimState:
+def init_state(model: SkelModel, dtype=None, warm_start: bool = True
+               ) -> SimState:
     q = model.q_init if dtype is None else model.q_init.astype(dtype)
     dq = model.dq_init if dtype is None else model.dq_init.astype(dtype)
-    return SimState(q=q, dq=dq, time=jnp.zeros((), dtype=q.dtype))
+    lam = None
+    if warm_start:
+        from dartenv_tpu.engine.constraints import build_layout
+        lam = jnp.zeros((build_layout(model).m,), dtype=q.dtype)
+    return SimState(q=q, dq=dq, time=jnp.zeros((), dtype=q.dtype), lam=lam)
 
 
 def integrate_positions(model: SkelModel, q, dq, dt):
@@ -82,12 +94,15 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
             contacts = collide(model, kin.R_w, kin.p_w)
         with jax.named_scope("constraints"):
             dq_plus, lam = solve_constraints(
-                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
+                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+                lam_prev=state.lam,
             )
         with jax.named_scope("integrate"):
             q_new = integrate_positions(model, q, dq_plus, dt)
         out = (contacts, lam) if return_impulses else contacts
-        return SimState(q=q_new, dq=dq_plus, time=state.time + dt), out
+        lam_carry = lam if state.lam is not None else None
+        return SimState(q=q_new, dq=dq_plus, time=state.time + dt,
+                        lam=lam_carry), out
 
     return step
 

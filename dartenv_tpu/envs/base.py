@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dartenv_tpu.api import core, seeding, spaces
+from dartenv_tpu.api import core, error, seeding, spaces
 from dartenv_tpu.engine.world import (
     SimState, init_state, make_do_simulation,
 )
@@ -207,12 +207,59 @@ def make_env_reset(task: Task):
     return env_reset
 
 
+class _CustomTask(Task):
+    """Task shell for reference-style custom env subclasses (which override
+    `_step`/`reset_model`/`_get_obs` on the env and drive the sim through
+    `do_simulation` + `robot_skeleton`, so the jit-path hooks here are
+    never exercised unless the subclass provides them)."""
+
+    def __init__(self, model: SkelModel, frame_skip: int, obs_size: int,
+                 control_bounds):
+        super().__init__(model)
+        self.frame_skip = int(frame_skip)
+        self.obs_size = int(obs_size)
+        self.control_bounds = np.asarray(control_bounds, dtype=np.float64)
+
+    def action_to_tau(self, a, aux):  # pragma: no cover - subclass owns step
+        return jnp.zeros(self.model.n, dtype=a.dtype)
+
+    def obs(self, sim, aux):
+        return sim.state_vector()[: self.obs_size]
+
+    def reward(self, sim_prev, sim, a, contacts, aux):
+        return jnp.asarray(0.0, dtype=sim.q.dtype)
+
+    def done(self, sim, aux):
+        return jnp.asarray(False)
+
+
 class DartEnv(core.Env):
-    """Single-env gym 0.9.x-compatible shim over a Task."""
+    """Single-env gym 0.9.x-compatible shim over a Task.
+
+    Two construction modes:
+      * `DartEnv(task)` — the TPU-native path (built-in env families).
+      * `DartEnv(model_paths, frame_skip, observation_size, action_bounds,
+        dt=0.002, obs_type='parameter', ...)` — the REFERENCE signature
+        (`gym/envs/dart/dart_env.py:~30` †, SURVEY.md §2.2) for users
+        porting custom env subclasses: the subclass overrides `_step`
+        (calling `self.do_simulation`), `reset_model`, `_get_obs` and codes
+        against `self.robot_skeleton` exactly as with pydart2.
+    """
 
     metadata = {"render.modes": ["human", "rgb_array"]}
 
-    def __init__(self, task: Task):
+    def __init__(self, task, frame_skip=None, observation_size=None,
+                 action_bounds=None, dt=0.002, obs_type="parameter",
+                 action_type="continuous", visualize=False,
+                 disableViewer=True, screen_width=80, screen_height=45):
+        if not isinstance(task, Task):
+            task = self._task_from_model_paths(
+                task, frame_skip, observation_size, action_bounds, dt
+            )
+        self.obs_type = obs_type
+        self.visualize = visualize and not disableViewer
+        self.screen_width = screen_width
+        self.screen_height = screen_height
         self.task = task
         self.model = task.model
         self.frame_skip = task.frame_skip
@@ -246,6 +293,35 @@ class DartEnv(core.Env):
         self._last_lam = None
         self._robot_skeleton = None
         self._world_facade = None
+
+    @staticmethod
+    def _task_from_model_paths(model_paths, frame_skip, observation_size,
+                               action_bounds, dt):
+        """Reference-signature construction: parse the asset(s), take the
+        LAST file's robot (reference: `world.skeletons[-1]` †)."""
+        from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+        from dartenv_tpu.model.urdf_loader import parse_urdf
+
+        if frame_skip is None or observation_size is None \
+                or action_bounds is None:
+            raise error.Error(
+                "DartEnv(model_paths, ...) requires frame_skip, "
+                "observation_size and action_bounds (reference signature †)"
+            )
+        paths = [model_paths] if isinstance(model_paths, str) else \
+            list(model_paths)
+        robot = None
+        for p in paths:
+            import os as _os
+            full = p if _os.path.exists(p) else asset_path(p)
+            if full.endswith(".urdf"):
+                robot = parse_urdf(full)
+            else:
+                robot = parse_skel(full).robot
+        if float(robot.dt) != float(dt):
+            robot = robot.replace(dt=float(dt))
+        return _CustomTask(robot, frame_skip, observation_size,
+                           action_bounds)
 
     # -- pydart2-style facade (reference: pydart2 World/Skeleton †) -------
     @property
@@ -364,6 +440,11 @@ class DartEnv(core.Env):
     def _step(self, action):
         a = jnp.asarray(action, dtype=self.model.q_init.dtype)
         self._state, obs, reward, done = self._env_step(self._state, a)
+        if self.obs_type == "image":
+            # reference: image observations come from the offscreen viewer
+            # (`dart_env.py` obs_type='image' †)
+            obs = self._render(mode="rgb_array")
+            return obs, float(reward), bool(done), {}
         return (
             np.asarray(obs, dtype=np.float64),
             float(reward),
@@ -372,6 +453,22 @@ class DartEnv(core.Env):
         )
 
     def _reset(self):
+        if hasattr(self, "reset_model"):
+            # reference custom-env workflow †: world.reset() then the
+            # subclass's reset_model() perturbs/sets state and returns obs
+            dtype = self.model.q_init.dtype
+            sim = SimState(
+                q=self.model.q_init, dq=self.model.dq_init,
+                time=jnp.zeros((), dtype=dtype),
+            )
+            self._state = EnvState(
+                sim=sim, aux=self.task.aux_init(),
+                key=jax.random.PRNGKey(0),
+                steps=jnp.zeros((), dtype=jnp.int32),
+            )
+            self._staged_tau = None
+            self._pending_fext = None
+            return self.reset_model()
         q, dq = self.task.np_reset_sim(self.np_random)
         aux = self.task.np_reset_aux(self.np_random, self.task.aux_init())
         dtype = self.model.q_init.dtype

@@ -63,7 +63,8 @@ def make_dog_task(dtype=jnp.float32) -> DogTask:
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 8 simultaneously active contact slots for this morphology
     model = world.robot.replace(
-        solver=dataclasses.replace(world.robot.solver, contact_cap=8)
+        solver=dataclasses.replace(world.robot.solver, contact_cap=8,
+                                   pgs_iters=20)
     )
     return DogTask(model)
 

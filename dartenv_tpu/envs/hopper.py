@@ -76,7 +76,8 @@ def make_hopper_task(dtype=jnp.float32) -> HopperTask:
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 4 simultaneously active contact slots for this morphology
     model = world.robot.replace(
-        solver=dataclasses.replace(world.robot.solver, contact_cap=4)
+        solver=dataclasses.replace(world.robot.solver, contact_cap=4,
+                                   pgs_iters=20)
     )
     return HopperTask(model)
 

@@ -66,7 +66,8 @@ def make_walker2d_task(dtype=jnp.float32) -> Walker2dTask:
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 6 simultaneously active contact slots for this morphology
     model = world.robot.replace(
-        solver=dataclasses.replace(world.robot.solver, contact_cap=6)
+        solver=dataclasses.replace(world.robot.solver, contact_cap=6,
+                                   pgs_iters=20)
     )
     return Walker2dTask(model)
 

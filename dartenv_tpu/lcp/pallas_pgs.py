@@ -26,12 +26,12 @@ TB = 128  # envs per tile (lane width)
 
 
 def _pgs_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, invd_ref,
-                lam_ref, *, findex, iters: int):
+                lam0_ref, lam_ref, *, findex, iters: int):
     m = b_ref.shape[0]
     fidx = np.maximum(findex, 0)
     has_f = findex >= 0
 
-    lam_ref[...] = jnp.zeros_like(b_ref[...])
+    lam_ref[...] = lam0_ref[...]  # warm start (zeros = cold)
 
     def sweep(_, carry):
         # lam lives in the output VMEM ref; rows are updated in place
@@ -51,7 +51,8 @@ def _pgs_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, invd_ref,
     jax.lax.fori_loop(0, iters, sweep, 0)
 
 
-def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30):
+def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
+                     omega: float = 1.0, lam0=None):
     """Batched solve.  A: (B, m, m); b/lo/hi/mu/active: (B, m); findex is a
     static numpy (m,) array.  Returns lam (B, m).
 
@@ -62,11 +63,14 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30):
     dtype = A.dtype
     if m == 0:
         return jnp.zeros((B, 0), dtype=dtype)
+    if lam0 is None:
+        lam0 = jnp.zeros_like(b)
     Bp = ((B + TB - 1) // TB) * TB
     pad = Bp - B
 
     diag = jnp.diagonal(A, axis1=-2, axis2=-1)
     inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+    inv_diag = inv_diag * jnp.asarray(omega, dtype=dtype)  # SOR step scale
 
     def to_lanes(x):
         if pad:
@@ -74,7 +78,7 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30):
         return jnp.moveaxis(x, 0, -1)  # (..., Bp)
 
     A_t = to_lanes(A)         # (m, m, Bp)
-    args = [to_lanes(v) for v in (b, lo, hi, mu, active, inv_diag)]
+    args = [to_lanes(v) for v in (b, lo, hi, mu, active, inv_diag, lam0)]
 
     grid = (Bp // TB,)
     block3 = pl.BlockSpec((m, m, TB), lambda i: (0, 0, i),
@@ -88,7 +92,7 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30):
     lam_t = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[block3] + [block2] * 6,
+        in_specs=[block3] + [block2] * 7,
         out_specs=block2,
         out_shape=jax.ShapeDtypeStruct((m, Bp), dtype),
     )(A_t, *args)

@@ -24,7 +24,7 @@ import numpy as np
 
 
 def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
-              lam0=None):
+              lam0=None, omega: float = 1.0):
     """Solve the boxed LCP for one env.
 
     A: (m, m); b, lo, hi, active: (m,) arrays; findex: length-m numpy int
@@ -38,6 +38,9 @@ def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
     findex = np.asarray(findex)
     diag = jnp.diagonal(A, axis1=-2, axis2=-1)
     inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+    # SOR: omega > 1 over-relaxes each projected update (kept stable by the
+    # projection; convergence-tested in tests/test_contact_cap.py tuning)
+    inv_diag = inv_diag * jnp.asarray(omega, dtype=A.dtype)
     lam_init = jnp.zeros(m, dtype=A.dtype) if lam0 is None else lam0
 
     # dynamic row indexing keeps the program size O(1) in m (the TPU
@@ -89,7 +92,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def make_pgs_solver(findex, iters: int):
+def make_pgs_solver(findex, iters: int, omega: float = 1.0):
     """Boxed-LCP solver for ONE env that redirects a vmapped batch to the
     Pallas TPU kernel (lcp/pallas_pgs.py) — on TPU the whole (B, m, m)
     batch is solved in one fused kernel with env batch on the lane axis;
@@ -97,8 +100,9 @@ def make_pgs_solver(findex, iters: int):
     findex = np.asarray(findex)
 
     @jax.custom_batching.custom_vmap
-    def solve(A, b, lo, hi, mu, active):
-        return pgs_solve(A, b, lo, hi, findex, mu, active, iters=iters)
+    def solve(A, b, lo, hi, mu, active, lam0):
+        return pgs_solve(A, b, lo, hi, findex, mu, active, iters=iters,
+                         omega=omega, lam0=lam0)
 
     @solve.def_vmap
     def _batched(axis_size, in_batched, *args):
@@ -107,16 +111,17 @@ def make_pgs_solver(findex, iters: int):
             a if bat else jnp.broadcast_to(a, (axis_size,) + a.shape)
             for a, bat in zip(args, in_batched)
         ]
-        A, b, lo, hi, mu, active = args
+        A, b, lo, hi, mu, active, lam0 = args
         if _on_tpu() and A.dtype == jnp.float32:
             from dartenv_tpu.lcp.pallas_pgs import pgs_solve_pallas
 
             out = pgs_solve_pallas(A, b, lo, hi, findex, mu, active,
-                                   iters=iters)
+                                   iters=iters, omega=omega, lam0=lam0)
         else:
             out = jax.vmap(
-                lambda Ai, bi, loi, hii, mui, acti: pgs_solve(
-                    Ai, bi, loi, hii, findex, mui, acti, iters=iters
+                lambda Ai, bi, loi, hii, mui, acti, l0i: pgs_solve(
+                    Ai, bi, loi, hii, findex, mui, acti, iters=iters,
+                    omega=omega, lam0=l0i,
                 )
             )(A, b, lo, hi, mu, active)
         return out, True

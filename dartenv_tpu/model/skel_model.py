@@ -70,6 +70,8 @@ class SolverConfig:
     # joint-limit rows use their own erp in DART ‡
     joint_erp: float = dataclasses.field(default=0.01, metadata=dict(static=True))
     pgs_iters: int = dataclasses.field(default=30, metadata=dict(static=True))
+    # SOR over-relaxation for the PGS sweeps (1.0 = plain Gauss-Seidel)
+    pgs_omega: float = dataclasses.field(default=1.0, metadata=dict(static=True))
     solver: str = dataclasses.field(default="pgs", metadata=dict(static=True))
     contact_eps: float = dataclasses.field(default=1e-6, metadata=dict(static=True))
     # Active-set compaction: solve the LCP over only the `contact_cap`
