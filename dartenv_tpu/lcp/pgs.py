@@ -123,7 +123,7 @@ def make_pgs_solver(findex, iters: int, omega: float = 1.0):
                     Ai, bi, loi, hii, findex, mui, acti, iters=iters,
                     omega=omega, lam0=l0i,
                 )
-            )(A, b, lo, hi, mu, active)
+            )(A, b, lo, hi, mu, active, lam0)
         return out, True
 
     return solve
