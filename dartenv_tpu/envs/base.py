@@ -67,9 +67,27 @@ class Task:
     # perturbation_parameters = [prob, magnitude, body_id, duration] ‡)
     add_perturbation: bool = False
     perturbation_parameters = (0.05, 30.0, 0, 40)
+    # carry LCP impulses across substeps to warm-start the solver (free
+    # double-digit % throughput on contact tasks; see SimState.lam).  The
+    # validation tracer keeps cold starts (validation/trace.py builds its
+    # own SimState without lam), so reference-parity traces are unaffected.
+    warm_start: bool = True
 
     def __init__(self, model: SkelModel):
         self.model = model
+        self._lcp_rows = None  # lazily computed layout.m
+
+    def lam_init(self, dtype):
+        """Zero LCP-impulse carry enabling warm starts (or None when
+        disabled / the model has no constraint rows)."""
+        if not self.warm_start:
+            return None
+        if self._lcp_rows is None:
+            from dartenv_tpu.engine.constraints import build_layout
+            self._lcp_rows = build_layout(self.model).m
+        if self._lcp_rows == 0:
+            return None
+        return jnp.zeros((self._lcp_rows,), dtype=dtype)
 
     # -- control ---------------------------------------------------------
     def action_to_tau(self, a, aux):
@@ -114,7 +132,8 @@ class Task:
             kdq, (model.n,), minval=-s, maxval=s, dtype=model.q_init.dtype
         )
         return SimState(q=q, dq=dq,
-                        time=jnp.zeros((), dtype=model.q_init.dtype))
+                        time=jnp.zeros((), dtype=model.q_init.dtype),
+                        lam=self.lam_init(model.q_init.dtype))
 
     def np_reset_sim(self, np_random) -> Tuple[np.ndarray, np.ndarray]:
         """NumPy reset path for seed parity (same call order as the
@@ -398,11 +417,15 @@ class DartEnv(core.Env):
     # -- state access (reference: set_state / state_vector †) ------------
     def set_state(self, qpos, qvel):
         assert qpos.shape == (self.model.n,) and qvel.shape == (self.model.n,)
+        dtype = self.model.q_init.dtype
         sim = SimState(
-            q=jnp.asarray(qpos, dtype=self.model.q_init.dtype),
-            dq=jnp.asarray(qvel, dtype=self.model.q_init.dtype),
+            q=jnp.asarray(qpos, dtype=dtype),
+            dq=jnp.asarray(qvel, dtype=dtype),
             time=self._state.sim.time if self._state is not None
-            else jnp.zeros((), dtype=self.model.q_init.dtype),
+            else jnp.zeros((), dtype=dtype),
+            # set_state is a teleport: stale impulses don't correspond to
+            # the new configuration, so the warm-start carry restarts at 0
+            lam=self.task.lam_init(dtype),
         )
         self._state = dataclasses.replace(self._state, sim=sim)
 
@@ -460,6 +483,7 @@ class DartEnv(core.Env):
             sim = SimState(
                 q=self.model.q_init, dq=self.model.dq_init,
                 time=jnp.zeros((), dtype=dtype),
+                lam=self.task.lam_init(dtype),
             )
             self._state = EnvState(
                 sim=sim, aux=self.task.aux_init(),
@@ -476,6 +500,7 @@ class DartEnv(core.Env):
             q=jnp.asarray(q, dtype=dtype),
             dq=jnp.asarray(dq, dtype=dtype),
             time=jnp.zeros((), dtype=dtype),
+            lam=self.task.lam_init(dtype),
         )
         self._state = EnvState(
             sim=sim, aux=aux,

@@ -12,6 +12,7 @@ import numpy as np
 
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 
 class CartPoleTask(Task):
@@ -47,8 +48,9 @@ def make_cartpole_task(dtype=jnp.float32) -> CartPoleTask:
     return CartPoleTask(world.robot)
 
 
-class DartCartPoleEnv(DartEnv):
+class DartCartPoleEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_cartpole_task())
 
 
@@ -62,7 +64,8 @@ class CartPoleSwingUpTask(CartPoleTask):
     def reset_sim(self, key):
         sim = super().reset_sim(key)
         return type(sim)(
-            q=sim.q.at[1].add(jnp.pi), dq=sim.dq, time=sim.time
+            q=sim.q.at[1].add(jnp.pi), dq=sim.dq, time=sim.time,
+            lam=sim.lam,
         )
 
     def np_reset_sim(self, np_random):
@@ -84,6 +87,7 @@ def make_cartpole_swingup_task(dtype=jnp.float32) -> CartPoleSwingUpTask:
     return CartPoleSwingUpTask(world.robot)
 
 
-class DartCartPoleSwingUpEnv(DartEnv):
+class DartCartPoleSwingUpEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_cartpole_swingup_task())

@@ -14,6 +14,7 @@ import numpy as np
 from dartenv_tpu.dynamics.algorithms import fk_positions
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 
 class DogTask(Task):
@@ -69,6 +70,7 @@ def make_dog_task(dtype=jnp.float32) -> DogTask:
     return DogTask(model)
 
 
-class DartDogEnv(DartEnv):
+class DartDogEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_dog_task())

@@ -16,6 +16,7 @@ import numpy as np
 from dartenv_tpu.dynamics.algorithms import body_point_world
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 # pole half-length: tip is this far above pole2's origin (see asset)
 _TIP_OFFSET = (0.0, 0.3, 0.0)
@@ -69,6 +70,7 @@ def make_double_pendulum_task(dtype=jnp.float32) -> DoubleInvertedPendulumTask:
     return DoubleInvertedPendulumTask(world.robot)
 
 
-class DartDoubleInvertedPendulumEnv(DartEnv):
+class DartDoubleInvertedPendulumEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_double_pendulum_task())

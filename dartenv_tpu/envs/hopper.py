@@ -16,6 +16,7 @@ import numpy as np
 from dartenv_tpu.dynamics.algorithms import fk_positions
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 
 class HopperTask(Task):
@@ -82,6 +83,7 @@ def make_hopper_task(dtype=jnp.float32) -> HopperTask:
     return HopperTask(model)
 
 
-class DartHopperEnv(DartEnv):
+class DartHopperEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_hopper_task())

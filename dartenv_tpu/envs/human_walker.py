@@ -17,6 +17,7 @@ import numpy as np
 
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 # actuated dofs 6..29: spine(3), hipR(3), kneeR, ankleR(2),
 # hipL(3), kneeL, ankleL(2), shoulderR(3), elbowR, shoulderL(3), elbowL
@@ -77,6 +78,7 @@ def make_humanwalker_task(dtype=jnp.float32) -> HumanWalkerTask:
     return HumanWalkerTask(world.robot)
 
 
-class DartHumanWalkerEnv(DartEnv):
+class DartHumanWalkerEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_humanwalker_task())

@@ -16,6 +16,7 @@ import numpy as np
 from dartenv_tpu.dynamics.algorithms import body_point_world
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 _FINGERTIP_OFFSET = (0.2, 0.0, 0.0)  # in link2 body frame
 _TARGET_R_MIN = 0.25
@@ -84,6 +85,7 @@ def make_reacher_task(dtype=jnp.float32) -> ReacherTask:
     return ReacherTask(world.robot)
 
 
-class DartReacherEnv(DartEnv):
+class DartReacherEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_reacher_task())

@@ -13,6 +13,7 @@ import numpy as np
 
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 
 class Snake7LinkTask(Task):
@@ -49,6 +50,7 @@ def make_snake7link_task(dtype=jnp.float32) -> Snake7LinkTask:
     return Snake7LinkTask(world.robot)
 
 
-class DartSnake7LinkEnv(DartEnv):
+class DartSnake7LinkEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_snake7link_task())

@@ -15,6 +15,7 @@ import numpy as np
 from dartenv_tpu.dynamics.algorithms import fk_positions
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 
 class Walker2dTask(Task):
@@ -72,6 +73,7 @@ def make_walker2d_task(dtype=jnp.float32) -> Walker2dTask:
     return Walker2dTask(model)
 
 
-class DartWalker2dEnv(DartEnv):
+class DartWalker2dEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_walker2d_task())

@@ -15,6 +15,7 @@ import numpy as np
 from dartenv_tpu.dynamics.algorithms import fk_positions
 from dartenv_tpu.envs.base import DartEnv, Task
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
+from dartenv_tpu.utils.ezpickle import EzPickle
 
 
 class Walker3dTask(Task):
@@ -71,6 +72,7 @@ def make_walker3d_task(dtype=jnp.float32) -> Walker3dTask:
     return Walker3dTask(model)
 
 
-class DartWalker3dEnv(DartEnv):
+class DartWalker3dEnv(DartEnv, EzPickle):
     def __init__(self):
+        EzPickle.__init__(self)
         super().__init__(make_walker3d_task())

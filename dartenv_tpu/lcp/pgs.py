@@ -74,20 +74,37 @@ def pgs_solve(A, b, lo, hi, findex, mu, active, iters: int = 30,
 # device) — the gate below runs at trace time and cannot see tracer devices.
 PLATFORM_OVERRIDE = None
 
+# Trace-time platform hint set by code that knows the target devices (e.g.
+# parallel.sharding.make_sharded_rollout sets it from its Mesh while the
+# shard_map body traces).  Public-API mechanism replacing the former
+# jax._src.mesh.thread_resources probe.
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_PLATFORM_HINT: _contextvars.ContextVar = _contextvars.ContextVar(
+    "dartenv_tpu_lcp_platform", default=None
+)
+
+
+@_contextlib.contextmanager
+def platform_scope(platform):
+    """Pin the LCP kernel dispatch to `platform` ('tpu'/'cpu'/...) for code
+    traced inside this scope."""
+    tok = _PLATFORM_HINT.set(platform)
+    try:
+        yield
+    finally:
+        _PLATFORM_HINT.reset(tok)
+
 
 def _on_tpu() -> bool:
     if PLATFORM_OVERRIDE is not None:
         return PLATFORM_OVERRIDE == "tpu"
+    hint = _PLATFORM_HINT.get()
+    if hint is not None:
+        return hint in ("tpu", "axon")
     try:
-        # an ambient `with mesh:` scope pins the target platform
-        from jax._src.mesh import thread_resources
-        m = thread_resources.env.physical_mesh
-        if m.devices is not None and m.devices.size:
-            return m.devices.flat[0].platform in ("tpu", "axon")
-    except Exception:
-        pass
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 

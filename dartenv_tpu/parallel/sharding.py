@@ -84,8 +84,19 @@ def make_sharded_rollout(vec_env: VecEnv, policy_fn: Callable,
         running_return=P("env"), running_length=P("env"),
     )
 
+    try:
+        mesh_platform = mesh.devices.flat[0].platform
+    except Exception:
+        mesh_platform = None
+
     def _body(params, state, keys):
-        out = local_rollout(params, state, keys[0])
+        # _body executes at trace time inside shard_map: pin the LCP kernel
+        # dispatch to the mesh's platform (the default backend can differ,
+        # e.g. a virtual CPU mesh while a tunneled TPU is the default device)
+        from dartenv_tpu.lcp.pgs import platform_scope
+
+        with platform_scope(mesh_platform):
+            out = local_rollout(params, state, keys[0])
         state, stats = out[0], out[1]
         if gather_stats:
             stats = EpisodeStats(
