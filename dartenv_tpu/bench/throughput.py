@@ -38,11 +38,12 @@ _TASKS = {
 }
 
 
-def make_task(name: str, dtype=jnp.float32):
+def make_task(name: str, dtype=jnp.float32, lcp_solver=None):
     import importlib
 
     mod, fn = _TASKS[name]
-    return getattr(importlib.import_module(mod), fn)(dtype=dtype)
+    kw = {} if lcp_solver is None else dict(lcp_solver=lcp_solver)
+    return getattr(importlib.import_module(mod), fn)(dtype=dtype, **kw)
 
 
 def random_policy(task):
@@ -62,7 +63,7 @@ def random_policy(task):
 def bench_env(name: str = "walker2d", batch: int = 4096,
               horizon: int = 100, iters: int = 5,
               max_episode_steps: int = 1000, devices=None,
-              profile_dir: Optional[str] = None):
+              profile_dir: Optional[str] = None, lcp_solver=None):
     """Returns dict with env-steps/s and timing detail."""
     from dartenv_tpu.parallel.rollout import make_rollout
     from dartenv_tpu.parallel.sharding import (
@@ -70,7 +71,7 @@ def bench_env(name: str = "walker2d", batch: int = 4096,
     )
     from dartenv_tpu.parallel.vec_env import VecEnv
 
-    task = make_task(name)
+    task = make_task(name, lcp_solver=lcp_solver)
     vec = VecEnv(task, num_envs=batch, max_episode_steps=max_episode_steps)
     policy = random_policy(task)
 
@@ -139,10 +140,12 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of one iteration here")
+    p.add_argument("--solver", default=None, choices=["pgs", "dantzig"],
+                   help="override the task's LCP solver")
     args = p.parse_args(argv)
 
     r = bench_env(args.env, args.batch, args.horizon, args.iters,
-                  profile_dir=args.profile_dir)
+                  profile_dir=args.profile_dir, lcp_solver=args.solver)
     per_chip = r["env_steps_per_s_per_chip"]
     line = {
         "metric": f"env-steps/s/chip (batched Dart{args.env.capitalize()},"

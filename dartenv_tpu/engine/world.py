@@ -81,7 +81,7 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     layout = build_layout(model)
     dt = model.dt
 
-    def step(state: SimState, tau, f_ext_world=None):
+    def step(state: SimState, tau, f_ext_world=None, servo_target=None):
         # named scopes give per-phase attribution in jax.profiler/XProf
         # traces (SURVEY.md §5.1 — the reference has no profiling hooks)
         q, dq = state.q, state.dq
@@ -95,7 +95,7 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
         with jax.named_scope("constraints"):
             dq_plus, lam = solve_constraints(
                 model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
-                lam_prev=state.lam,
+                lam_prev=state.lam, servo_target=servo_target,
             )
         with jax.named_scope("integrate"):
             q_new = integrate_positions(model, q, dq_plus, dt)
@@ -107,21 +107,76 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     return step
 
 
+def make_lcp_capture(model: SkelModel) -> Callable:
+    """Debug/validation hook: (state, tau) -> dict with the exact boxed LCP
+    the constraint solver sees this substep (post active-set compaction)
+    plus the engine's own solution.
+
+    Used by tests/test_exact_solver.py to hand the identical problem to the
+    native C++ Dantzig golden (native/lcp_dantzig.cpp) and compare impulses
+    — the strongest reference-free equivalence check for the solver spine
+    (VERDICT.md round 1, item 1).
+    """
+    from dartenv_tpu.engine.constraints import assemble_lcp
+
+    layout = build_layout(model)
+    dt = model.dt
+
+    def capture(state: SimState, tau):
+        q, dq = state.q, state.dq
+        kin = batched.bkin(model, q, dq)
+        ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt, None)
+        dq_star = dq + dt * ddq
+        contacts = collide(model, kin.R_w, kin.p_w)
+        A, b, lo, hi, active, mu, findex, MinvJt, sel = assemble_lcp(
+            model, layout, kin.phi, M, q, dq, dq_star, contacts, dt
+        )
+        lam_prev = state.lam
+        if lam_prev is not None:
+            lam0 = sel @ lam_prev if sel is not None else lam_prev
+            lam0 = lam0 * active
+        else:
+            lam0 = None
+        if model.solver.solver == "dantzig":
+            from dartenv_tpu.lcp.dantzig import dantzig_solve
+
+            lam = dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam0)
+        else:
+            from dartenv_tpu.lcp.pgs import pgs_solve
+
+            lam = pgs_solve(A, b, lo, hi, findex, mu, active,
+                            iters=model.solver.pgs_iters,
+                            omega=model.solver.pgs_omega, lam0=lam0)
+        return dict(A=A, b=b, lo=lo, hi=hi, active=active, mu=mu,
+                    findex=findex, lam=lam, dq_star=dq_star,
+                    dq_plus=dq_star + MinvJt @ lam)
+
+    return capture
+
+
 def make_do_simulation(model: SkelModel, frame_skip: int,
                        return_impulses: bool = False) -> Callable:
     """frame_skip substeps with the same tau (reference:
     DartEnv.do_simulation † — same tau each substep, SURVEY.md §2.2)."""
     step = make_sim_step(model, return_impulses=return_impulses)
 
-    def do_sim(state: SimState, tau, f_ext_world=None):
+    def do_sim(state: SimState, tau, f_ext_world=None, servo_target=None):
         if frame_skip == 1:
-            return step(state, tau, f_ext_world)
+            return step(state, tau, f_ext_world, servo_target)
         # larger trip counts: scan to keep compile time/program size bounded
         def body(st, _):
-            st2, c2 = step(st, tau, f_ext_world)
+            st2, c2 = step(st, tau, f_ext_world, servo_target)
             return st2, c2
 
         st, cs = jax.lax.scan(body, state, None, length=frame_skip)
-        return st, jax.tree_util.tree_map(lambda x: x[-1], cs)
+        out = jax.tree_util.tree_map(lambda x: x[-1], cs)
+        # contact-cap overflow is reported as the max over the substeps
+        # (the last substep alone could mask a mid-step overflow)
+        contacts = out[0] if return_impulses else out
+        contacts = dataclasses.replace(
+            contacts, overflow=jnp.max(
+                (cs[0] if return_impulses else cs).overflow, axis=0))
+        out = (contacts, out[1]) if return_impulses else contacts
+        return st, out
 
     return do_sim

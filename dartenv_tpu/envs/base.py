@@ -38,6 +38,25 @@ from dartenv_tpu.engine.world import (
 from dartenv_tpu.model.skel_model import SkelModel
 
 
+def with_solver(model: SkelModel, lcp_solver: Optional[str] = None,
+                **overrides) -> SkelModel:
+    """Override SolverConfig fields on a model (task-factory plumbing).
+
+    `lcp_solver` picks the contact solver: "pgs" (iterative, the TPU
+    throughput default) or "dantzig" (block principal pivoting — the
+    exact Dantzig-class path matching the reference's ODE dSolveLCP †
+    default; see docs/SOLVERS.md for the recorded per-task decision).
+    Extra kwargs override any SolverConfig field (pgs_iters, erp, ...).
+    """
+    if lcp_solver is not None:
+        overrides["solver"] = lcp_solver
+    if not overrides:
+        return model
+    return model.replace(
+        solver=dataclasses.replace(model.solver, **overrides)
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EnvState:
@@ -206,7 +225,11 @@ def make_env_step(task: Task):
             sim=sim_new, aux=aux, key=key,
             steps=state.steps + 1,
         )
-        return new_state, obs, reward, done
+        # per-step diagnostics (jit-safe scalars); contact_overflow > 0
+        # means the active-set cap dropped contacts this step (VERDICT.md
+        # r1 weak #3 — the reference's dynamic row assembly can't overflow)
+        step_info = {"contact_overflow": contacts.overflow}
+        return new_state, obs, reward, done, step_info
 
     return env_step
 
@@ -307,6 +330,7 @@ class DartEnv(core.Env):
         # pydart2-parity surfaces (envs/facade.py): staged forces and the
         # last substep's manifold + impulses back collision_result †
         self._staged_tau = None
+        self._staged_servo = None
         self._pending_fext = None
         self._last_contacts = None
         self._last_lam = None
@@ -394,13 +418,18 @@ class DartEnv(core.Env):
                if self._last_lam is not None else _np.zeros(layout.m))
         out = []
         dt = float(self.model.dt)
+        # full 3-vector force: normal row + both friction-pyramid tangent
+        # rows, reconstructed with the same deterministic tangent basis the
+        # LCP assembly used (pydart2 contact.force is the full vector †)
+        from dartenv_tpu.engine.constraints import tangent_basis
+        t1, t2 = tangent_basis(jnp.asarray(normal))
+        t1, t2 = _np.asarray(t1), _np.asarray(t2)
         for k in range(nc):
             if not active[k]:
                 continue
-            # rows [3k, 3k+1, 3k+2] = (normal, t1, t2) impulses; the facade
-            # reports the normal-direction force (tangent basis is not
-            # exposed here; magnitude via lam if needed)
-            f = normal[k] * (lam[3 * k] / dt)
+            f = (normal[k] * lam[3 * k]
+                 + t1[k] * lam[3 * k + 1]
+                 + t2[k] * lam[3 * k + 2]) / dt
             out.append(Contact(pos[k], normal[k], f, float(depth[k]),
                                layout.slot_body[k]))
         return CollisionResult(out)
@@ -452,8 +481,11 @@ class DartEnv(core.Env):
         if self._pending_fext is not None:
             fext = jnp.asarray(self._pending_fext, dtype=dtype)
             self._pending_fext = None  # cleared each step, pydart2-style †
+        servo = None
+        if self._staged_servo is not None:
+            servo = jnp.asarray(self._staged_servo, dtype=dtype)
         sim, (contacts, lam) = do(
-            self._state.sim, jnp.asarray(tau, dtype=dtype), fext
+            self._state.sim, jnp.asarray(tau, dtype=dtype), fext, servo
         )
         self._state = dataclasses.replace(self._state, sim=sim)
         self._last_contacts = contacts
@@ -462,17 +494,19 @@ class DartEnv(core.Env):
 
     def _step(self, action):
         a = jnp.asarray(action, dtype=self.model.q_init.dtype)
-        self._state, obs, reward, done = self._env_step(self._state, a)
+        self._state, obs, reward, done, step_info = \
+            self._env_step(self._state, a)
+        info = {k: float(v) for k, v in step_info.items()}
         if self.obs_type == "image":
             # reference: image observations come from the offscreen viewer
             # (`dart_env.py` obs_type='image' †)
             obs = self._render(mode="rgb_array")
-            return obs, float(reward), bool(done), {}
+            return obs, float(reward), bool(done), info
         return (
             np.asarray(obs, dtype=np.float64),
             float(reward),
             bool(done),
-            {},
+            info,
         )
 
     def _reset(self):

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -43,9 +43,10 @@ class CartPoleTask(Task):
         )
 
 
-def make_cartpole_task(dtype=jnp.float32) -> CartPoleTask:
+def make_cartpole_task(dtype=jnp.float32, lcp_solver=None,
+                       **solver_kw) -> CartPoleTask:
     world = parse_skel(asset_path("cartpole.skel"), dtype=dtype)
-    return CartPoleTask(world.robot)
+    return CartPoleTask(with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartCartPoleEnv(DartEnv, EzPickle):
@@ -82,9 +83,11 @@ class CartPoleSwingUpTask(CartPoleTask):
         return ~(finite & (jnp.abs(sim.q[0]) <= 2.4))
 
 
-def make_cartpole_swingup_task(dtype=jnp.float32) -> CartPoleSwingUpTask:
+def make_cartpole_swingup_task(dtype=jnp.float32, lcp_solver=None,
+                               **solver_kw) -> CartPoleSwingUpTask:
     world = parse_skel(asset_path("cartpole.skel"), dtype=dtype)
-    return CartPoleSwingUpTask(world.robot)
+    return CartPoleSwingUpTask(
+        with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartCartPoleSwingUpEnv(DartEnv, EzPickle):

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.dynamics.algorithms import fk_positions
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -58,15 +58,13 @@ class DogTask(Task):
         return ~ok
 
 
-def make_dog_task(dtype=jnp.float32) -> DogTask:
+def make_dog_task(dtype=jnp.float32, lcp_solver=None,
+                  **solver_kw) -> DogTask:
     world = parse_skel(asset_path("dog.skel"), dtype=dtype)
-    import dataclasses
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 8 simultaneously active contact slots for this morphology
-    model = world.robot.replace(
-        solver=dataclasses.replace(world.robot.solver, contact_cap=8,
-                                   pgs_iters=20)
-    )
+    model = with_solver(world.robot, lcp_solver, contact_cap=8,
+                        pgs_iters=20, **solver_kw)
     return DogTask(model)
 
 

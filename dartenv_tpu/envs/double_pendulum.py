@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.dynamics.algorithms import body_point_world
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -65,9 +65,10 @@ class DoubleInvertedPendulumTask(Task):
         return ~(finite & (tip_y > 0.5 * _UPRIGHT_TIP_Y))
 
 
-def make_double_pendulum_task(dtype=jnp.float32) -> DoubleInvertedPendulumTask:
+def make_double_pendulum_task(dtype=jnp.float32, lcp_solver=None,
+                              **solver_kw) -> DoubleInvertedPendulumTask:
     world = parse_skel(asset_path("doublependulum.skel"), dtype=dtype)
-    return DoubleInvertedPendulumTask(world.robot)
+    return DoubleInvertedPendulumTask(with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartDoubleInvertedPendulumEnv(DartEnv, EzPickle):

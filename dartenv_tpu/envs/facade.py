@@ -145,6 +145,16 @@ class Skeleton:
         tau = self._env._staged_tau
         return np.zeros(self.ndofs) if tau is None else tau.copy()
 
+    def set_commands(self, u):
+        """Stage servo velocity commands for dofs with servo_flimit > 0
+        (reference: Skeleton::setCommands † with SERVO actuator dofs —
+        dart/constraint/ServoMotorConstraint.cpp †)."""
+        self._env._staged_servo = np.asarray(u, dtype=np.float64)
+
+    def commands(self) -> np.ndarray:
+        u = self._env._staged_servo
+        return np.zeros(self.ndofs) if u is None else u.copy()
+
     # -- limits -----------------------------------------------------------
     @property
     def q_lower(self) -> np.ndarray:

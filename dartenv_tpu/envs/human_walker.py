@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -73,9 +73,10 @@ class HumanWalkerTask(Task):
         return ~ok
 
 
-def make_humanwalker_task(dtype=jnp.float32) -> HumanWalkerTask:
+def make_humanwalker_task(dtype=jnp.float32, lcp_solver=None,
+                          **solver_kw) -> HumanWalkerTask:
     world = parse_skel(asset_path("kima_humanwalker.skel"), dtype=dtype)
-    return HumanWalkerTask(world.robot)
+    return HumanWalkerTask(with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartHumanWalkerEnv(DartEnv, EzPickle):

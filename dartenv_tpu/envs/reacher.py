@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.dynamics.algorithms import body_point_world
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -80,9 +80,10 @@ class ReacherTask(Task):
         return ~jnp.all(jnp.isfinite(s))
 
 
-def make_reacher_task(dtype=jnp.float32) -> ReacherTask:
+def make_reacher_task(dtype=jnp.float32, lcp_solver=None,
+                      **solver_kw) -> ReacherTask:
     world = parse_skel(asset_path("reacher.skel"), dtype=dtype)
-    return ReacherTask(world.robot)
+    return ReacherTask(with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartReacherEnv(DartEnv, EzPickle):

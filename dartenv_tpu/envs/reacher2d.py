@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.dynamics.algorithms import body_point_world
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -75,9 +75,10 @@ class Reacher2dTask(Task):
         return ~jnp.all(jnp.isfinite(s))
 
 
-def make_reacher2d_task(dtype=jnp.float32) -> Reacher2dTask:
+def make_reacher2d_task(dtype=jnp.float32, lcp_solver=None,
+                        **solver_kw) -> Reacher2dTask:
     world = parse_skel(asset_path("reacher2d.skel"), dtype=dtype)
-    return Reacher2dTask(world.robot)
+    return Reacher2dTask(with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartReacher2dEnv(DartEnv, EzPickle):

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from dartenv_tpu.envs.base import DartEnv, Task
+from dartenv_tpu.envs.base import DartEnv, Task, with_solver
 from dartenv_tpu.model.skel_parser import asset_path, parse_skel
 from dartenv_tpu.utils.ezpickle import EzPickle
 
@@ -45,9 +45,10 @@ class Snake7LinkTask(Task):
         return ~(jnp.all(jnp.isfinite(s)) & jnp.all(jnp.abs(s[3:]) < 100.0))
 
 
-def make_snake7link_task(dtype=jnp.float32) -> Snake7LinkTask:
+def make_snake7link_task(dtype=jnp.float32, lcp_solver=None,
+                         **solver_kw) -> Snake7LinkTask:
     world = parse_skel(asset_path("snake_7link.skel"), dtype=dtype)
-    return Snake7LinkTask(world.robot)
+    return Snake7LinkTask(with_solver(world.robot, lcp_solver, **solver_kw))
 
 
 class DartSnake7LinkEnv(DartEnv, EzPickle):

@@ -53,6 +53,16 @@ def cylinder_inertia(mass, radius, height):
     return np.diag([ixy, ixy, iz])
 
 
+def ellipsoid_inertia(mass, radii):
+    """About COM, semi-axes `radii` along the local axes."""
+    a, b, c = [float(r) for r in radii]
+    return np.diag([
+        mass / 5.0 * (b * b + c * c),
+        mass / 5.0 * (a * a + c * c),
+        mass / 5.0 * (a * a + b * b),
+    ])
+
+
 def capsule_inertia(mass, radius, half_length):
     """Capsule about COM, axis = local z (cylinder + two hemispheres)."""
     h = 2.0 * half_length
@@ -98,6 +108,7 @@ class ModelBuilder:
         cj_pos=(0, 0, 0), cj_rot=None,
         mass: float = 1.0, com=(0, 0, 0), inertia=None,
         damping=0.0, spring=0.0, rest=0.0, dof_friction=0.0,
+        servo_flimit=0.0,
         q_lower=None, q_upper=None,
         q_init=0.0, joint_name: Optional[str] = None,
         pitch: float = 0.0,
@@ -139,6 +150,7 @@ class ModelBuilder:
             spring=_per_dof(spring),
             rest=_per_dof(rest),
             dof_friction=_per_dof(dof_friction),
+            servo_flimit=_per_dof(servo_flimit),
             q_lower=_per_dof(q_lower, -1e16),
             q_upper=_per_dof(q_upper, 1e16),
             limited=[
@@ -238,6 +250,7 @@ class ModelBuilder:
             spring_stiff=a(per_dof("spring")),
             rest_pos=a(per_dof("rest")),
             dof_friction=a(per_dof("dof_friction")),
+            servo_flimit=a(per_dof("servo_flimit")),
             q_lower=a(per_dof("q_lower")), q_upper=a(per_dof("q_upper")),
             limited=a(per_dof("limited")),
             q_init=a(per_dof("q_init")),

@@ -52,8 +52,10 @@ JOINT_NDOF = {
 
 # geometry types
 GEOM_SPHERE = 0
-GEOM_CAPSULE = 1   # size = (radius, half_length, 0); axis = local z
-GEOM_BOX = 2       # size = half extents (3,)
+GEOM_CAPSULE = 1    # size = (radius, half_length, 0); axis = local z
+GEOM_BOX = 2        # size = half extents (3,)
+GEOM_CYLINDER = 3   # size = (radius, half_height, 0); axis = local z
+GEOM_ELLIPSOID = 4  # size = semi-axes (3,) along local axes
 
 
 @jax.tree_util.register_dataclass
@@ -135,6 +137,10 @@ class SkelModel:
     spring_stiff: Any = None   # (n,)
     rest_pos: Any = None       # (n,)
     dof_friction: Any = None   # (n,) Coulomb joint friction
+    # (n,) servo-motor force limit per dof; > 0 adds a servo constraint row
+    # driving dq toward the commanded velocity within +-flimit*dt impulse
+    # (reference: dart/constraint/ServoMotorConstraint.cpp †)
+    servo_flimit: Any = None
     q_lower: Any = None        # (n,)
     q_upper: Any = None        # (n,)
     limited: Any = None        # (n,) float mask {0, 1}

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from dartenv_tpu.model import skel_model as sm
 from dartenv_tpu.model.builder import (
     ModelBuilder, box_inertia, capsule_inertia, cylinder_inertia,
+    ellipsoid_inertia,
     sphere_inertia,
 )
 
@@ -118,16 +119,14 @@ def _parse_shape(shape_elem):
     if cyl is not None:
         r = float(cyl.find("radius").text)
         h = float(cyl.find("height").text)
-        # collision treated as a capsule of the same radius (tasks use
-        # primitives only ‡); inertia stays cylindrical
-        return ParsedShape(sm.GEOM_CAPSULE, np.array([r, h / 2.0, 0]), T,
+        return ParsedShape(sm.GEOM_CYLINDER, np.array([r, h / 2.0, 0]), T,
                            lambda m, r=r, h=h: cylinder_inertia(m, r, h))
     ell = geom.find("ellipsoid")
     if ell is not None:
-        full = _floats(ell.find("size").text)
-        r = float(np.mean(full)) / 2.0
-        return ParsedShape(sm.GEOM_SPHERE, np.array([r, 0, 0]), T,
-                           lambda m, r=r: sphere_inertia(m, r))
+        full = _floats(ell.find("size").text)   # DART <size> = diameters ‡
+        radii = full / 2.0
+        return ParsedShape(sm.GEOM_ELLIPSOID, radii, T,
+                           lambda m, rr=radii: ellipsoid_inertia(m, rr))
     return None
 
 

@@ -48,10 +48,11 @@ class VecEnv:
         return self._vreset(keys)
 
     def step(self, state: EnvState, actions):
-        new_state, obs, reward, done = self._vstep(state, actions)
+        new_state, obs, reward, done, step_info = self._vstep(state,
+                                                               actions)
         if self.max_episode_steps is not None:
             done = done | (new_state.steps >= self.max_episode_steps)
-        info = {"terminal_obs": obs, "steps": new_state.steps}
+        info = {"terminal_obs": obs, "steps": new_state.steps, **step_info}
         if self.auto_reset:
             reset_keys = jax.vmap(
                 lambda k: jax.random.split(k)[1]

@@ -1,0 +1,210 @@
+"""Collision-matrix closure: box-box / box-capsule / box-sphere self pairs
+and cylinder/ellipsoid-vs-halfspace (VERDICT.md r1 missing #2 / next #6).
+
+Reference: `dart/collision/dart/DARTCollide.cpp` † (ODE-derived box-box SAT
+with face clipping), FCL convex pairs (SURVEY.md §2.4 "collision").
+Engine-level scenarios check statics: bodies dropped onto each other come
+to rest in the analytically-correct pose.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dartenv_tpu.engine.world import init_state, make_sim_step
+from dartenv_tpu.model import skel_model as sm
+from dartenv_tpu.model.builder import (
+    ModelBuilder, box_inertia, capsule_inertia, cylinder_inertia,
+    ellipsoid_inertia, sphere_inertia,
+)
+
+
+def _settle(model, n_steps=600):
+    step = jax.jit(make_sim_step(model))
+    state = init_state(model)
+    tau = jnp.zeros(model.n, dtype=jnp.float64)
+    for _ in range(n_steps):
+        state, contacts = step(state, tau)
+    return state, contacts
+
+
+# ---------------------------------------------------------------------------
+# primitive-vs-halfspace: cylinder and ellipsoid
+# ---------------------------------------------------------------------------
+
+def _drop_model(gtype, size, inertia, q_init_y, rot=None):
+    b = ModelBuilder(dt=0.002)
+    b.add_body("b", None, sm.TRANSLATIONAL, mass=1.0, inertia=inertia,
+               q_init=[0.0, q_init_y, 0.0])
+    b.add_geom("b", gtype, size, rot=rot, friction=1.0)
+    b.add_ground()
+    return b.finalize(dtype=jnp.float64)
+
+
+def test_cylinder_rests_on_side():
+    # axis = local z = world z -> lying on its side; rest height = radius
+    model = _drop_model(sm.GEOM_CYLINDER, (0.3, 0.5),
+                        cylinder_inertia(1.0, 0.3, 1.0), 0.6)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3         # rests at y = r
+    assert float(jnp.sum(contacts.active)) >= 2        # line contact
+
+
+def test_cylinder_rests_on_end():
+    # rotate axis to world y -> standing on an end cap; rest height = half_h
+    rot = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])  # z -> y
+    model = _drop_model(sm.GEOM_CYLINDER, (0.3, 0.5),
+                        cylinder_inertia(1.0, 0.3, 1.0), 0.7, rot=rot)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.5) < 5e-3         # rests at y = half_h
+    assert float(jnp.sum(contacts.active)) >= 3        # disc manifold
+
+
+def test_ellipsoid_rests_on_halfspace():
+    radii = (0.1, 0.3, 0.2)
+    model = _drop_model(sm.GEOM_ELLIPSOID, radii,
+                        ellipsoid_inertia(1.0, radii), 0.5)
+    state, _ = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3         # rests on y semi-axis
+
+
+# ---------------------------------------------------------------------------
+# self pairs involving boxes
+# ---------------------------------------------------------------------------
+
+def _two_body_model(top_gtype, top_size, top_inertia, drop_h,
+                    bottom_half=(0.5, 0.2, 0.5), rot=None):
+    """Fixed bottom box + free-falling top geom with a self pair."""
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, bottom_half))
+    g0 = b.add_geom("bottom", sm.GEOM_BOX, bottom_half)
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=top_inertia, q_init=[0.0, drop_h, 0.0])
+    g1 = b.add_geom("top", top_gtype, top_size, rot=rot, friction=1.0)
+    b.add_self_pair(g1, g0)
+    return b.finalize(dtype=jnp.float64)
+
+
+def test_box_rests_on_box():
+    """The VERDICT 'box feet on box' scenario: a box dropped on a fixed box
+    settles face-on-face at the exact stacking height, multi-point
+    manifold, no jitter."""
+    half = (0.15, 0.1, 0.15)
+    model = _two_body_model(sm.GEOM_BOX, half, box_inertia(1.0, half), 0.5)
+    state, contacts = _settle(model)
+    # rest: top box center at bottom_top(0.2) + 0.1 = 0.3
+    assert abs(float(state.q[1]) - 0.3) < 5e-3
+    assert float(jnp.sum(contacts.active)) >= 3       # face manifold
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2   # at rest
+
+
+def test_box_box_offset_stack():
+    """Partial overlap: the manifold covers the overlap region and the box
+    still settles at stack height (no fall-through, no explosion)."""
+    half = (0.15, 0.1, 0.15)
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, (0.5, 0.2, 0.5)))
+    g0 = b.add_geom("bottom", sm.GEOM_BOX, (0.5, 0.2, 0.5))
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=box_inertia(1.0, half),
+               q_init=[0.4, 0.5, 0.0])     # hangs over the edge by 0.05
+    g1 = b.add_geom("top", sm.GEOM_BOX, half)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_capsule_rests_on_box():
+    # capsule axis local z = world z, lying flat on the box top
+    model = _two_body_model(
+        sm.GEOM_CAPSULE, (0.1, 0.25), capsule_inertia(1.0, 0.1, 0.25), 0.5)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3         # 0.2 + r
+    assert float(jnp.sum(contacts.active)) >= 2        # both endpoints
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_sphere_rests_on_box():
+    model = _two_body_model(
+        sm.GEOM_SPHERE, (0.12,), sphere_inertia(1.0, 0.12), 0.5)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.32) < 5e-3        # 0.2 + r
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_box_box_edge_contact():
+    """45-degree rotated box dropping an edge onto the flat box: the SAT
+    edge/face paths produce a penetrating contact that stops the fall."""
+    half = (0.15, 0.15, 0.15)
+    th = np.pi / 4
+    rot = np.array([[1, 0, 0],
+                    [0, np.cos(th), -np.sin(th)],
+                    [0, np.sin(th), np.cos(th)]])
+    model = _two_body_model(sm.GEOM_BOX, half, box_inertia(1.0, half),
+                            0.6, rot=rot)
+    state, contacts = _settle(model, n_steps=400)
+    # must not fall through the fixed box (top face at y=0.2)
+    assert float(state.q[1]) > 0.2
+    assert float(jnp.sum(contacts.active)) >= 1
+
+
+# ---------------------------------------------------------------------------
+# contact_cap overflow surfacing
+# ---------------------------------------------------------------------------
+
+def test_contact_cap_overflow_reported():
+    """Two boxes flat on the ground = 8 active slots; cap=2 must (a) still
+    simulate without NaNs and (b) report overflow = active - cap via
+    Contacts.overflow / step info (VERDICT.md r1 weak #3)."""
+    import dataclasses
+
+    b = ModelBuilder(dt=0.002)
+    b.add_body("b", None, sm.TRANSLATIONAL, mass=1.0,
+               inertia=box_inertia(1.0, (0.1, 0.1, 0.1)),
+               q_init=[0.0, 0.05, 0.0])
+    b.add_geom("b", sm.GEOM_BOX, (0.1, 0.1, 0.1), pos=(-0.3, 0, 0))
+    b.add_geom("b", sm.GEOM_BOX, (0.1, 0.1, 0.1), pos=(0.3, 0, 0))
+    b.add_ground()
+    model = b.finalize(dtype=jnp.float64)
+    model = model.replace(
+        solver=dataclasses.replace(model.solver, contact_cap=2))
+
+    step = jax.jit(make_sim_step(model))
+    state = init_state(model)
+    tau = jnp.zeros(model.n, dtype=jnp.float64)
+    max_overflow = 0.0
+    for _ in range(50):
+        state, contacts = step(state, tau)
+        max_overflow = max(max_overflow, float(contacts.overflow))
+    assert max_overflow >= 6.0              # 8 active - cap 2
+    assert bool(jnp.all(jnp.isfinite(state.q)))
+
+    # the same field reaches env users through step info
+    from dartenv_tpu.envs.base import Task, make_env_reset, make_env_step
+
+    class _T(Task):
+        frame_skip = 2
+        obs_size = 6
+        control_bounds = np.array([[1.0] * 3, [-1.0] * 3])
+
+        def action_to_tau(self, a, aux):
+            return jnp.zeros(self.model.n, dtype=a.dtype)
+
+        def obs(self, sim, aux):
+            return sim.state_vector()
+
+        def reward(self, sim_prev, sim, a, contacts, aux):
+            return jnp.asarray(0.0, dtype=sim.q.dtype)
+
+        def done(self, sim, aux):
+            return jnp.asarray(False)
+
+    task = _T(model)
+    st, _ = make_env_reset(task)(jax.random.PRNGKey(0))
+    st, _, _, _, info = jax.jit(make_env_step(task))(
+        st, jnp.zeros(3, dtype=jnp.float64))
+    assert float(info["contact_overflow"]) >= 6.0

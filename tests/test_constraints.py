@@ -181,7 +181,7 @@ def test_reacher_limits_hold_under_saturation():
     a = jnp.asarray([1.0, 0.5, -0.5, 1.0, 0.7])
     maxq = np.zeros(5)
     for _ in range(300):
-        state, obs, r, d = stepf(state, a)
+        state, obs, r, d, _ = stepf(state, a)
         maxq = np.maximum(maxq, np.abs(np.asarray(state.sim.q)))
     limits = np.asarray(task.model.q_upper)
     assert np.all(maxq < limits + 0.05), (maxq, limits)

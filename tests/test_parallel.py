@@ -49,7 +49,7 @@ class TestVecEnv:
         step1 = make_env_step(task)
         for i in range(4):
             s_i = jax.tree_util.tree_map(lambda x: x[i], state)
-            s2, o, r, d = step1(s_i, actions[i])
+            s2, o, r, d, _ = step1(s_i, actions[i])
             np.testing.assert_array_equal(np.asarray(o),
                                           np.asarray(obs_b[i]))
             np.testing.assert_array_equal(np.asarray(s2.sim.q),
