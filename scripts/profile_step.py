@@ -1,4 +1,4 @@
-"""Phase-level cost decomposition of the walker2d substep on the live chip.
+"""Phase-level cost decomposition of an env substep on the live chip.
 
 Times scan-100 loops of ablated substeps to attribute cost:
   full        — production sim_step
@@ -6,7 +6,11 @@ Times scan-100 loops of ablated substeps to attribute cost:
   no_constr   — dynamics only (skip collision + constraints)
   fd_only     — batched forward dynamics (ABA) alone
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +21,7 @@ from dartenv_tpu.engine.constraints import (
 )
 from dartenv_tpu.engine.world import SimState, integrate_positions
 from dartenv_tpu.collision.narrowphase import collide
-from dartenv_tpu.envs.walker2d import make_walker2d_task
+from dartenv_tpu.bench.throughput import make_task
 
 
 def timed(fn, state, tau, iters=3):
@@ -32,8 +36,8 @@ def timed(fn, state, tau, iters=3):
     return best
 
 
-def main(batch=4096, nsteps=100):
-    task = make_walker2d_task(dtype=jnp.float32)
+def main(batch=4096, nsteps=100, env="walker2d"):
+    task = make_task(env, dtype=jnp.float32)
     model = task.model
     layout = build_layout(model)
     dt = model.dt
@@ -109,6 +113,10 @@ def main(batch=4096, nsteps=100):
 
 
 if __name__ == "__main__":
-    import sys
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    main(batch=b)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch", nargs="?", type=int, default=4096)
+    ap.add_argument("--env", default="walker2d")
+    ap.add_argument("--nsteps", type=int, default=100)
+    a = ap.parse_args()
+    main(batch=a.batch, nsteps=a.nsteps, env=a.env)
