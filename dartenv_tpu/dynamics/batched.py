@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.math import spatial as sp
-from dartenv_tpu.math.linalg import chol, chol_solve
+from dartenv_tpu.math.linalg import chol, chol_solve, solve_psd
 from dartenv_tpu.model.skel_model import (
     BALL, EULER, FREE, PLANAR, PRISMATIC, REVOLUTE, SCREW, SkelModel,
     TRANSLATIONAL, UNIVERSAL, WELD,
@@ -415,5 +415,5 @@ def forward_dynamics(model: SkelModel, kin: BKin, q, dq, tau, dt,
     d, k = model.damping, model.spring_stiff
     tau_total = tau - d * dq - k * (q - model.rest_pos + dt * dq) - C
     Mi = M + jnp.diag(dt * d + dt * dt * k)
-    ddq = chol_solve(chol(Mi, eps=1e-10), tau_total)
+    ddq = solve_psd(Mi, tau_total, eps=1e-10)
     return ddq, M

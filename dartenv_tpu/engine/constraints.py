@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dartenv_tpu.collision.narrowphase import Contacts, slot_layout
-from dartenv_tpu.math.linalg import chol, chol_solve
+from dartenv_tpu.math.linalg import chol, chol_solve, inv_psd, _UNROLL_MAX
 from dartenv_tpu.model.skel_model import SkelModel
 from dartenv_tpu.lcp.pgs import make_pgs_solver, pgs_solve
 
@@ -281,8 +281,16 @@ def assemble_lcp(model: SkelModel, layout: RowLayout, phi,
         ])
         m = 3 * cap + n_tail
 
-    L = chol(M, eps=1e-10)
-    MinvJt = chol_solve(L, J.T)            # (n, m)
+    if model.n > _UNROLL_MAX:
+        # large models (humanoid n=29): XLA's batched cholesky/triangular
+        # solves are ~100x off speed-of-light under the batch-minor
+        # layouts this program runs in — build A from the explicit Schur
+        # inverse instead (pure matmuls; see math/linalg.inv_psd)
+        from dartenv_tpu.math.linalg import _pmm
+        MinvJt = _pmm(inv_psd(M, eps=1e-10), J.T)   # (n, m), full-f32
+    else:
+        L = chol(M, eps=1e-10)
+        MinvJt = chol_solve(L, J.T)            # (n, m)
     A = J @ MinvJt
     A = A + cfg.cfm * jnp.eye(m, dtype=dtype)
     # mask inactive rows out of the operator so they can't pollute pivots

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dartenv_tpu.math.linalg import chol, chol_solve
+from dartenv_tpu.math.linalg import solve_psd
 from dartenv_tpu.lcp.pgs import pgs_solve
 
 # set labels
@@ -88,7 +88,7 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
         # masked SPD solve: non-free rows/cols replaced by identity
         Am = (A * fmask[:, None] * fmask[None, :]
               + jnp.diag(1.0 - fmask))
-        x_free = chol_solve(chol(Am, eps=1e-12), rhs) * fmask
+        x_free = solve_psd(Am, rhs, eps=1e-12) * fmask
         x_new = x_free + x_fixed
         w = A @ x_new + b
         # set transitions

@@ -284,6 +284,54 @@ int dartenv_lcp_solve(int m, const double* A_in, const double* b,
       if (it > 0 && diff < 1e-13 && lag < 1e-12) break;
     }
   }
+  // Final polish: projected Gauss-Seidel with LIVE findex bounds
+  // (bounds refreshed from the current x inside the sweep).  The damped
+  // outer loop can stall on oscillating sliding contacts (the friction
+  // fixed point has spectral radius ~1 under the damped map); from the
+  // pivoting solution PGS descends linearly to a self-consistent
+  // complementarity point of bounds(x).
+  if (any_friction) {
+    for (int s = 0; s < 500; ++s) {
+      double delta = 0.0;
+      for (int i = 0; i < m; ++i) {
+        double lo_i = lo_in[i], hi_i = hi_in[i];
+        if (findex && findex[i] >= 0) {
+          const double bound =
+              std::abs(mu ? mu[i] : 1.0) * std::abs(x[findex[i]]);
+          lo_i = std::max(lo_i, -bound);
+          hi_i = std::min(hi_i, bound);
+        }
+        const double aii = A[static_cast<size_t>(i) * m + i];
+        if (aii <= 0.0) continue;
+        double wi = b[i];
+        for (int j = 0; j < m; ++j)
+          wi += A[static_cast<size_t>(i) * m + j] * x[j];
+        double xn = std::min(std::max(x[i] - wi / aii, lo_i), hi_i);
+        delta = std::max(delta, std::abs(xn - x[i]));
+        x[i] = xn;
+      }
+      if (delta < 1e-14) break;
+    }
+  }
+  // report the residual at x's OWN friction fixed point (bounds(x)) —
+  // the honest convergence statement; the stale xb-based bounds can
+  // claim convergence the solution does not have
+  if (findex) {
+    for (int i = 0; i < m; ++i) {
+      if (findex[i] >= 0) {
+        const double bound =
+            std::abs(mu ? mu[i] : 1.0) * std::abs(x[findex[i]]);
+        lo[i] = std::max(lo_in[i], -bound);
+        hi[i] = std::min(hi_in[i], bound);
+      }
+    }
+  }
+  for (int i = 0; i < m; ++i) {
+    double s = b[i];
+    for (int j = 0; j < m; ++j)
+      s += A[static_cast<size_t>(i) * m + j] * x[j];
+    w[i] = s;
+  }
   std::memcpy(x_out, x.data(), sizeof(double) * m);
   if (w_out) std::memcpy(w_out, w.data(), sizeof(double) * m);
   return residual_violations(m, x.data(), w.data(), lo.data(), hi.data());
