@@ -313,6 +313,115 @@ int dartenv_lcp_solve(int m, const double* A_in, const double* b,
       if (delta < 1e-14) break;
     }
   }
+  // Fallback for the rare stall: stateful block principal pivoting
+  // (Judice-Pires family) from a COLD start, with a damped friction-bound
+  // source.  The incremental-driving path above plus the PGS polish
+  // resolves ~all substeps, but PGS converges only linearly and can stall
+  // above the reporting tolerance on ill-conditioned free blocks
+  // (observed: one walker2d substep in 1000 stalling at |w| ~ 2e-5 after
+  // 500 sweeps while an exact free-block solve reaches 1e-11).  Restarting
+  // matters: from the stalled point the pivot-set sequence oscillates, but
+  // from x = 0 with the natural partition (only violated normals free) the
+  // damped set sequence closes.  The better point by max complementarity
+  // residual — a solver-independent criterion — is kept, so the primary
+  // path remains the independent cross-check for the on-device solvers.
+  {
+    auto live_bounds = [&](const std::vector<double>& src) {
+      for (int i = 0; i < m; ++i) {
+        lo[i] = lo_in[i];
+        hi[i] = hi_in[i];
+        if (findex && findex[i] >= 0) {
+          const double bound =
+              std::abs(mu ? mu[i] : 1.0) * std::abs(src[findex[i]]);
+          lo[i] = std::max(lo_in[i], -bound);
+          hi[i] = std::min(hi_in[i], bound);
+        }
+      }
+    };
+    auto compute_w = [&](const std::vector<double>& xs,
+                         std::vector<double>& ws) {
+      for (int i = 0; i < m; ++i) {
+        double s = b[i];
+        for (int j = 0; j < m; ++j)
+          s += A[static_cast<size_t>(i) * m + j] * xs[j];
+        ws[i] = s;
+      }
+    };
+    auto max_residual = [&](const std::vector<double>& xs,
+                            const std::vector<double>& ws) {
+      // max complementarity violation at bounds currently in lo/hi
+      double r = 0.0;
+      for (int i = 0; i < m; ++i) {
+        const bool at_lo = xs[i] <= lo[i] + 1e-9;
+        const bool at_hi = xs[i] >= hi[i] - 1e-9;
+        double ri;
+        if (at_lo && at_hi) ri = 0.0;
+        else if (at_lo) ri = -ws[i];
+        else if (at_hi) ri = ws[i];
+        else ri = std::abs(ws[i]);
+        ri = std::max(ri, std::max(lo[i] - xs[i], xs[i] - hi[i]));
+        r = std::max(r, ri);
+      }
+      return r;
+    };
+    auto residual_at = [&](std::vector<double>& xs, std::vector<double>& ws) {
+      live_bounds(xs);
+      compute_w(xs, ws);
+      return max_residual(xs, ws);
+    };
+    std::vector<double> w_cur(m);
+    const double primary = residual_at(x, w_cur);
+    const double xscale = std::max(1.0, max_abs(m, x.data()));
+    if (primary > 1e-9 * xscale) {
+      std::vector<double> xt(m, 0.0), xb2(m, 0.0), wt(m), rhs(m), yF(m);
+      std::vector<int> st(m);  // 0 free, 1 at-lo, 2 at-hi
+      for (int i = 0; i < m; ++i)
+        st[i] = (std::abs(lo_in[i]) <= kTol && b[i] < 0.0) ? 0 : 1;
+      auto bpp_pass = [&](const std::vector<double>& bound_src) {
+        live_bounds(bound_src);
+        std::vector<int> F;
+        for (int i = 0; i < m; ++i) {
+          if (st[i] == 0 && hi[i] - lo[i] > kTol) { F.push_back(i); continue; }
+          xt[i] = (st[i] == 2) ? hi[i] : lo[i];
+        }
+        const int k = static_cast<int>(F.size());
+        for (int r = 0; r < k; ++r) {
+          double s = b[F[r]];
+          for (int j = 0; j < m; ++j) {
+            bool in_F = false;
+            for (int q = 0; q < k; ++q)
+              if (F[q] == j) { in_F = true; break; }
+            if (!in_F) s += A[static_cast<size_t>(F[r]) * m + j] * xt[j];
+          }
+          rhs[r] = -s;
+        }
+        solve_principal(A, m, F, rhs.data(), yF.data());
+        for (int r = 0; r < k; ++r) xt[F[r]] = yF[r];
+        compute_w(xt, wt);
+        for (int r = 0; r < k; ++r) {
+          const int i = F[r];
+          if (xt[i] < lo[i] - kTol) st[i] = 1;
+          else if (xt[i] > hi[i] + kTol) st[i] = 2;
+        }
+        for (int i = 0; i < m; ++i) {
+          if (st[i] == 1 && wt[i] < -kTol) st[i] = 0;
+          else if (st[i] == 2 && wt[i] > kTol) st[i] = 0;
+        }
+        for (int i = 0; i < m; ++i)
+          xt[i] = std::min(std::max(xt[i], lo[i]), hi[i]);
+      };
+      for (int it = 0; it < 24; ++it) {
+        bpp_pass(xb2);
+        for (int i = 0; i < m; ++i) xb2[i] = 0.5 * (xb2[i] + xt[i]);
+      }
+      std::vector<double> x_undamped = xt;
+      for (int it = 0; it < 8; ++it) {
+        x_undamped = xt;
+        bpp_pass(x_undamped);
+      }
+      if (residual_at(xt, wt) < primary) x = xt;
+    }
+  }
   // report the residual at x's OWN friction fixed point (bounds(x)) —
   // the honest convergence statement; the stale xb-based bounds can
   // claim convergence the solution does not have
@@ -325,6 +434,8 @@ int dartenv_lcp_solve(int m, const double* A_in, const double* b,
         hi[i] = std::min(hi_in[i], bound);
       }
     }
+  } else {
+    for (int i = 0; i < m; ++i) { lo[i] = lo_in[i]; hi[i] = hi_in[i]; }
   }
   for (int i = 0; i < m; ++i) {
     double s = b[i];

@@ -22,6 +22,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# The study is host-loop heavy (one LCP capture round-trip per substep);
+# on a tunneled single-chip TPU every capture is a network hop, so default
+# to the local CPU backend unless the user explicitly asks for the device.
+# (The axon sitecustomize pins jax_platforms to the tunnel, overriding
+# JAX_PLATFORMS=cpu in the environment — undo it here like tests/conftest.)
+if "--device" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -125,6 +134,8 @@ if __name__ == "__main__":
                    help="single env (default: walker2d + hopper)")
     p.add_argument("--substeps", type=int, default=600)
     p.add_argument("--iters", default="5,10,20,30,50")
+    p.add_argument("--device", action="store_true",
+                   help="run on the default JAX device instead of CPU")
     args = p.parse_args()
     grid = [int(x) for x in args.iters.split(",")]
     envs = [args.env] if args.env else ["walker2d", "hopper"]
