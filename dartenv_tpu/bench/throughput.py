@@ -20,6 +20,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the rollout programs are large and the
+# dominant bench cost is XLA compilation (minutes on a remotely-compiled
+# tunneled chip); with the cache warm, re-runs start stepping immediately.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 REFERENCE_CPU_STEPS_PER_S = 5000.0  # anecdotal estimate, see module docstring
 
 _TASKS = {

@@ -28,13 +28,13 @@ from dartenv_tpu.collision.primitives import (
     sphere_box,
 )
 from dartenv_tpu.model.skel_model import (
-    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_SPHERE,
-    SkelModel,
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_MESH,
+    GEOM_SPHERE, SkelModel,
 )
 
 # contact slots a geom contributes against a halfspace
 _WORLD_SLOTS = {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_BOX: 4,
-                GEOM_CYLINDER: 4, GEOM_ELLIPSOID: 1}
+                GEOM_CYLINDER: 4, GEOM_ELLIPSOID: 1, GEOM_MESH: 4}
 
 
 def _self_pair_slots(ta: int, tb: int) -> int:
@@ -280,6 +280,26 @@ def collide(model: SkelModel, R_w, p_w) -> Contacts:
             dep_l.append(cdep[None])
             fr_l.append(fric[None])
             re_l.append(rest[None])
+        elif gt == GEOM_MESH:
+            # convex vertex cloud vs halfspace: 4-point manifold from the
+            # deepest vertices (same rule as the box corner manifold —
+            # GEOM_BOX is the 8-vertex special case).  Padded vertices are
+            # masked to -inf depth so top_k never selects them.
+            mi = model.geom_mesh[gi]
+            verts = model.mesh_verts[mi]          # (V, 3) body frame
+            vmask = model.mesh_vmask[mi]          # (V,)
+            vw = pg + verts @ Rg.T                # world vertices
+            dist = vw @ n - off
+            # finite sentinel (not -inf): padded slots must stay inert in
+            # downstream arithmetic (active = depth > 0), not produce NaNs
+            depth = jnp.where(vmask > 0.5, -dist, -1e9)
+            top_d, top_i = jax.lax.top_k(depth, 4)
+            cpos = vw[top_i] - jnp.outer(dist[top_i], n)
+            pos_l.append(cpos)
+            nrm_l.append(jnp.broadcast_to(n, (4, 3)))
+            dep_l.append(top_d)
+            fr_l.append(jnp.broadcast_to(fric, (4,)))
+            re_l.append(jnp.broadcast_to(rest, (4,)))
         else:
             raise NotImplementedError(f"geom type {gt} vs halfspace")
     for ga, gb in model.self_pairs:

@@ -18,7 +18,8 @@ import numpy as np
 
 from dartenv_tpu.dynamics.algorithms import fk
 from dartenv_tpu.model.skel_model import (
-    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_SPHERE,
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_MESH,
+    GEOM_SPHERE,
     SkelModel,
 )
 
@@ -167,6 +168,13 @@ def render_frame(model: SkelModel, sim_state, width: int = 320,
                                 for sy in (-1.0, 1.0)
                                 for sz in (-1.0, 1.0)]) * size
             cw = pg + corners @ Rg.T
+            u, v, z = project(cw)
+            mask = _convex_hull_mask(u, v, xx, yy)
+        elif gt == GEOM_MESH and model.mesh_verts is not None:
+            mi = model.geom_mesh[gi]
+            verts = np.asarray(model.mesh_verts[mi])
+            vmask = np.asarray(model.mesh_vmask[mi]) > 0.5
+            cw = pg + verts[vmask] @ Rg.T
             u, v, z = project(cw)
             mask = _convex_hull_mask(u, v, xx, yy)
         else:                           # pragma: no cover

@@ -16,8 +16,35 @@ import jax.numpy as jnp
 
 from dartenv_tpu.model.skel_model import (
     JOINT_NDOF, SCREW, SkelModel, SolverConfig, ancestor_mask_np,
-    GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE,
+    GEOM_BOX, GEOM_CAPSULE, GEOM_MESH, GEOM_SPHERE,
 )
+
+
+def _pad_meshes(meshes):
+    """Pad a list of (V_i, 3) vertex arrays to (n_mesh, Vmax, 3) + mask.
+    Padding repeats the first vertex (keeps world-transform math finite);
+    the mask excludes pad slots from manifold selection."""
+    vmax = max(v.shape[0] for v in meshes)
+    verts = np.stack([
+        np.concatenate([v, np.repeat(v[:1], vmax - v.shape[0], axis=0)])
+        for v in meshes
+    ])
+    mask = np.stack([
+        np.concatenate([np.ones(v.shape[0]), np.zeros(vmax - v.shape[0])])
+        for v in meshes
+    ])
+    return verts, mask
+
+
+def mesh_inertia(mass, verts):
+    """Inertia approximation for a convex vertex cloud: the exact inertia
+    of the uniform-density axis-aligned bounding box of the vertices (the
+    reference computes exact mesh volume integrals via assimp †; for
+    collision hulls of primitive-like parts the AABB approximation is
+    within a few percent — pass an explicit inertia for anything better)."""
+    verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+    half = 0.5 * (verts.max(axis=0) - verts.min(axis=0))
+    return box_inertia(mass, np.maximum(half, 1e-9))
 
 
 def rpy_to_mat(r, p, y):
@@ -92,6 +119,7 @@ class ModelBuilder:
         self.solver = solver or SolverConfig()
         self._bodies = []       # dicts
         self._geoms = []
+        self._meshes = []       # list of (V_i, 3) vertex arrays
         self._wgeoms = []
         self._self_pairs = []
         self._name_to_idx = {}
@@ -179,6 +207,25 @@ class ModelBuilder:
             collide=bool(collide),
         ))
         return len(self._geoms) - 1
+
+    def add_mesh_geom(self, body: str, verts, pos=(0, 0, 0), rot=None,
+                      friction: float = 1.0, restitution: float = 0.0,
+                      collide: bool = True) -> int:
+        """Convex-mesh collision geom from a (V, 3) vertex cloud in the
+        body frame (reference: `dart/dynamics/MeshShape.cpp` † + FCL BVH —
+        here the vertices are baked into the model and collided as a
+        convex vertex cloud, SURVEY.md §2.4 "Shapes").  Interior vertices
+        are harmless (never deepest against a halfspace), so pre-computing
+        a hull is optional."""
+        verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+        if verts.shape[0] < 1:
+            raise ValueError("mesh needs at least one vertex")
+        gi = self.add_geom(body, GEOM_MESH, (0.0, 0.0, 0.0), pos=pos,
+                           rot=rot, friction=friction,
+                           restitution=restitution, collide=collide)
+        self._geoms[gi]["mesh"] = len(self._meshes)
+        self._meshes.append(verts)
+        return gi
 
     def add_self_pair(self, geom_a: int, geom_b: int):
         """Register a robot-geom-vs-robot-geom collision pair (reference:
@@ -272,6 +319,11 @@ class ModelBuilder:
                             if ng else np.zeros((0,))),
             geom_restitution=a([g["restitution"] for g in self._geoms]
                                if ng else np.zeros((0,))),
+            geom_mesh=tuple(g.get("mesh", -1) for g in self._geoms),
+            mesh_verts=(a(_pad_meshes(self._meshes)[0])
+                        if self._meshes else None),
+            mesh_vmask=(a(_pad_meshes(self._meshes)[1])
+                        if self._meshes else None),
             wg_normal=a(np.stack([w["normal"] for w in self._wgeoms])
                         if nw else np.zeros((0, 3))),
             wg_offset=a([w["offset"] for w in self._wgeoms]

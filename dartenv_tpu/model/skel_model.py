@@ -56,6 +56,8 @@ GEOM_CAPSULE = 1    # size = (radius, half_length, 0); axis = local z
 GEOM_BOX = 2        # size = half extents (3,)
 GEOM_CYLINDER = 3   # size = (radius, half_height, 0); axis = local z
 GEOM_ELLIPSOID = 4  # size = semi-axes (3,) along local axes
+GEOM_MESH = 5       # convex vertex cloud; verts in SkelModel.mesh_verts
+                    # indexed by the static geom_mesh table (size unused)
 
 
 @jax.tree_util.register_dataclass
@@ -157,6 +159,15 @@ class SkelModel:
     geom_pos: Any = None    # (ng, 3)
     geom_friction: Any = None     # (ng,)
     geom_restitution: Any = None  # (ng,)
+    # mesh geoms (GEOM_MESH): per-geom mesh index (-1 = not a mesh, static)
+    # and the padded vertex store.  The reference loads collision meshes
+    # through assimp into FCL BVH models (`dart/dynamics/MeshShape.cpp` †,
+    # SURVEY.md §2.4 "Shapes"); here a convex vertex cloud is baked into
+    # the model pytree and collided analytically — static shapes, so a
+    # vmapped top-k over vertices replaces the BVH traversal.
+    geom_mesh: Tuple[int, ...] = _static(())
+    mesh_verts: Any = None  # (n_mesh, Vmax, 3) body-frame vertices, padded
+    mesh_vmask: Any = None  # (n_mesh, Vmax) {0,1} valid-vertex mask
 
     # ---- static world geoms: halfspaces (ground) ----
     wg_normal: Any = None   # (nw, 3) outward (up) normal

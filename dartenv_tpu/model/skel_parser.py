@@ -85,14 +85,15 @@ def _t_inv(T):
 
 
 class ParsedShape:
-    def __init__(self, gtype, size, T, inertia_fn):
+    def __init__(self, gtype, size, T, inertia_fn, verts=None):
         self.gtype = gtype
         self.size = size
         self.T = T
         self.inertia_fn = inertia_fn
+        self.verts = verts  # (V, 3) for GEOM_MESH
 
 
-def _parse_shape(shape_elem):
+def _parse_shape(shape_elem, base_dir=None):
     """<collision_shape>/<visualization_shape> -> ParsedShape or None."""
     T = _transform(shape_elem.find("transformation"))
     geom = shape_elem.find("geometry")
@@ -121,6 +122,24 @@ def _parse_shape(shape_elem):
         h = float(cyl.find("height").text)
         return ParsedShape(sm.GEOM_CYLINDER, np.array([r, h / 2.0, 0]), T,
                            lambda m, r=r, h=h: cylinder_inertia(m, r, h))
+    mesh = geom.find("mesh")
+    if mesh is not None:
+        from dartenv_tpu.model.builder import mesh_inertia
+        from dartenv_tpu.model.mesh_loader import load_mesh
+
+        fn_el = mesh.find("file_name")
+        if fn_el is None or not fn_el.text:
+            return None
+        fn = fn_el.text.strip()
+        sc_el = mesh.find("scale")
+        scale = _floats(sc_el.text) if sc_el is not None else np.ones(3)
+        path = fn
+        if base_dir is not None and not os.path.isabs(fn):
+            path = os.path.join(base_dir, fn)
+        verts = load_mesh(path, scale=scale)
+        return ParsedShape(sm.GEOM_MESH, np.zeros(3), T,
+                           lambda m, v=verts: mesh_inertia(m, v),
+                           verts=verts)
     ell = geom.find("ellipsoid")
     if ell is not None:
         full = _floats(ell.find("size").text)   # DART <size> = diameters ‡
@@ -193,7 +212,8 @@ def parse_skel(path: str, dtype=jnp.float32,
     models: List[sm.SkelModel] = []
     for skel in mobile_skels:
         models.append(
-            _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver)
+            _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver,
+                            base_dir=os.path.dirname(os.path.abspath(path)))
         )
     return ParsedWorld(dt, gravity, models)
 
@@ -241,7 +261,8 @@ def _axis_dynamics(joint, axis_names=("axis", "axis2", "axis3")):
     return axes, lowers, uppers, dampings, stiffs, frictions, limited
 
 
-def _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver):
+def _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver,
+                    base_dir=None):
     name = skel.get("name", "skeleton")
     T_skel = _transform(skel.find("transformation"))
 
@@ -349,12 +370,12 @@ def _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver):
 
         shapes = []
         for cs in body.findall("collision_shape"):
-            s = _parse_shape(cs)
+            s = _parse_shape(cs, base_dir=base_dir)
             if s is not None:
                 shapes.append((s, True))
         if not shapes:
             for vs in body.findall("visualization_shape"):
-                s = _parse_shape(vs)
+                s = _parse_shape(vs, base_dir=base_dir)
                 if s is not None:
                     shapes.append((s, False))
         if moi is None:
@@ -389,8 +410,12 @@ def _build_skeleton(skel, dt, gravity, halfspaces, dtype, solver):
         )
         for s, _col in shapes:
             if _col:
-                b.add_geom(bname, s.gtype, s.size, pos=s.T[1], rot=s.T[0],
-                           friction=1.0)
+                if s.gtype == sm.GEOM_MESH:
+                    b.add_mesh_geom(bname, s.verts, pos=s.T[1], rot=s.T[0],
+                                    friction=1.0)
+                else:
+                    b.add_geom(bname, s.gtype, s.size, pos=s.T[1],
+                               rot=s.T[0], friction=1.0)
 
     for n_up, off in halfspaces:
         b.add_ground(normal=n_up, offset=off, friction=1.0)

@@ -81,10 +81,22 @@ def _geometry(geom_elem):
         ln = float(cyl.get("length"))
         return (sm.GEOM_CAPSULE, np.array([r, ln / 2.0, 0.0]),
                 lambda m: cylinder_inertia(m, r, ln))
-    if geom_elem.find("mesh") is not None:
-        raise NotImplementedError(
-            "URDF mesh geometry is out of scope (the reference tasks use "
-            "primitives only — SURVEY.md §2.4 'L0: FCL/libccd' row)")
+    mesh = geom_elem.find("mesh")
+    if mesh is not None:
+        from dartenv_tpu.model.builder import mesh_inertia
+        from dartenv_tpu.model.mesh_loader import load_mesh
+
+        fn = mesh.get("filename")
+        if fn is None:
+            raise ValueError("URDF <mesh> without filename")
+        # strip the ROS package:// prefix the reference's DartLoader
+        # resolves through its resource retriever †; here paths are
+        # resolved relative to the cwd / absolute
+        if fn.startswith("package://"):
+            fn = fn[len("package://"):]
+        scale = _floats(mesh.get("scale"), np.ones(3))
+        verts = load_mesh(fn, scale=scale)
+        return ("mesh", verts, lambda m: mesh_inertia(m, verts))
     raise ValueError("URDF geometry element with no known shape")
 
 
@@ -229,7 +241,10 @@ def parse_urdf(path_or_string: str, dtype=jnp.float32,
                 continue
             gtype, size, _fn = _geometry(geom_el)
             R_g, p_g = _origin(col)
-            b.add_geom(ln, gtype, size, pos=p_g, rot=R_g)
+            if gtype == "mesh":
+                b.add_mesh_geom(ln, size, pos=p_g, rot=R_g)
+            else:
+                b.add_geom(ln, gtype, size, pos=p_g, rot=R_g)
 
     if ground:
         b.add_ground(normal=(0, 1, 0), offset=0.0)

@@ -104,7 +104,8 @@ def test_urdf_pendulum_energy_conservation():
 
 
 def test_urdf_floating_root_and_cylinder():
-    """floating root -> FREE joint; cylinder -> capsule geom; mesh -> error."""
+    """floating root -> FREE joint; cylinder -> capsule geom; unsupported
+    mesh format -> error (OBJ/STL load — tests/test_mesh.py)."""
     URDF = """
     <robot name="block">
       <link name="body">
@@ -125,5 +126,5 @@ def test_urdf_floating_root_and_cylinder():
     with pytest.raises(NotImplementedError):
         parse_urdf("""
         <robot name="meshy"><link name="l">
-          <collision><geometry><mesh filename="x.stl"/></geometry></collision>
+          <collision><geometry><mesh filename="x.dae"/></geometry></collision>
         </link></robot>""", root_joint=sm.WELD)
