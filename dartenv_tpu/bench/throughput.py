@@ -135,11 +135,21 @@ def bench_env(name: str = "walker2d", batch: int = 4096,
     }
 
 
+# the five BASELINE.md benchmark configs (env, batch); humanwalker's batch
+# is smaller because 29 dofs x frame_skip 15 is ~10x the per-env work
+BASELINE_CONFIGS = (("cartpole", 8192), ("reacher", 4096),
+                    ("hopper", 4096), ("walker2d", 4096),
+                    ("humanwalker", 1024))
+
+
 def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--env", default="walker2d", choices=sorted(_TASKS))
+    p.add_argument("--all", action="store_true",
+                   help="run all five BASELINE.md configs sequentially and "
+                        "print one JSON line each (docs/BENCH.md table)")
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--horizon", type=int, default=100)
     p.add_argument("--iters", type=int, default=5)
@@ -149,6 +159,24 @@ def main(argv=None):
     p.add_argument("--solver", default=None, choices=["pgs", "dantzig"],
                    help="override the task's LCP solver")
     args = p.parse_args(argv)
+
+    if args.all:
+        lines = []
+        for env, batch in BASELINE_CONFIGS:
+            r = bench_env(env, batch, args.horizon, args.iters,
+                          lcp_solver=args.solver)
+            per_chip = r["env_steps_per_s_per_chip"]
+            line = {
+                "metric": f"env-steps/s/chip (batched Dart"
+                          f"{env.capitalize()}, B={batch})",
+                "value": round(per_chip, 1),
+                "unit": "env-steps/s/chip",
+                "vs_baseline": round(per_chip / REFERENCE_CPU_STEPS_PER_S,
+                                     2),
+            }
+            print(json.dumps(line), flush=True)
+            lines.append(line)
+        return lines
 
     r = bench_env(args.env, args.batch, args.horizon, args.iters,
                   profile_dir=args.profile_dir, lcp_solver=args.solver)

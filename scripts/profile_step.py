@@ -15,6 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# ablation programs are compile-heavy on a remotely-compiled chip; cache
+# them persistently (same cache the bench harness uses)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from dartenv_tpu.dynamics import batched
 from dartenv_tpu.engine.constraints import (
     assemble_rows, build_layout, solve_constraints,
