@@ -20,11 +20,18 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the rollout programs are large and the
-# dominant bench cost is XLA compilation (minutes on a remotely-compiled
-# tunneled chip); with the cache warm, re-runs start stepping immediately.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+def enable_compile_cache():
+    """Persistent compilation cache: the rollout programs are large and the
+    dominant bench cost is XLA compilation (minutes on a remotely-compiled
+    tunneled chip); with the cache warm, re-runs start stepping immediately.
+
+    Called from main() (and the profiling scripts), NOT at import time, so
+    importers of make_task don't silently redirect the process-wide cache
+    (ADVICE.md round 2).
+    """
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_CPU_STEPS_PER_S = 5000.0  # anecdotal estimate, see module docstring
 
@@ -69,7 +76,8 @@ def random_policy(task):
 def bench_env(name: str = "walker2d", batch: int = 4096,
               horizon: int = 100, iters: int = 5,
               max_episode_steps: int = 1000, devices=None,
-              profile_dir: Optional[str] = None, lcp_solver=None):
+              profile_dir: Optional[str] = None, lcp_solver=None,
+              warm_start: bool = True, solver_overrides=None):
     """Returns dict with env-steps/s and timing detail."""
     from dartenv_tpu.parallel.rollout import make_rollout
     from dartenv_tpu.parallel.sharding import (
@@ -78,6 +86,13 @@ def bench_env(name: str = "walker2d", batch: int = 4096,
     from dartenv_tpu.parallel.vec_env import VecEnv
 
     task = make_task(name, lcp_solver=lcp_solver)
+    if not warm_start:
+        # cold-start LCP every substep (reference semantics; used by the
+        # docs/BENCH.md regression bisect) — drops the lam carry entirely
+        task.warm_start = False
+    if solver_overrides:
+        from dartenv_tpu.envs.base import with_solver
+        task.model = with_solver(task.model, **solver_overrides)
     vec = VecEnv(task, num_envs=batch, max_episode_steps=max_episode_steps)
     policy = random_policy(task)
 
@@ -158,13 +173,31 @@ def main(argv=None):
                    help="write a jax.profiler trace of one iteration here")
     p.add_argument("--solver", default=None, choices=["pgs", "dantzig"],
                    help="override the task's LCP solver")
+    p.add_argument("--cold", action="store_true",
+                   help="disable LCP warm-starting (cold start every "
+                        "substep; bisect/validation mode)")
+    p.add_argument("--pgs_iters", type=int, default=None,
+                   help="override the task's PGS iteration budget")
+    p.add_argument("--escalate_frac", type=float, default=None,
+                   help="override the task's exact-solver escalation "
+                        "fraction (0 disables)")
     args = p.parse_args(argv)
+
+    enable_compile_cache()
+    overrides = {}
+    if args.pgs_iters is not None:
+        overrides["pgs_iters"] = args.pgs_iters
+    if args.escalate_frac is not None:
+        overrides["escalate_frac"] = args.escalate_frac
+    overrides = overrides or None
 
     if args.all:
         lines = []
         for env, batch in BASELINE_CONFIGS:
             r = bench_env(env, batch, args.horizon, args.iters,
-                          lcp_solver=args.solver)
+                          lcp_solver=args.solver,
+                          warm_start=not args.cold,
+                          solver_overrides=overrides)
             per_chip = r["env_steps_per_s_per_chip"]
             line = {
                 "metric": f"env-steps/s/chip (batched Dart"
@@ -179,7 +212,8 @@ def main(argv=None):
         return lines
 
     r = bench_env(args.env, args.batch, args.horizon, args.iters,
-                  profile_dir=args.profile_dir, lcp_solver=args.solver)
+                  profile_dir=args.profile_dir, lcp_solver=args.solver,
+                  warm_start=not args.cold, solver_overrides=overrides)
     per_chip = r["env_steps_per_s_per_chip"]
     line = {
         "metric": f"env-steps/s/chip (batched Dart{args.env.capitalize()},"

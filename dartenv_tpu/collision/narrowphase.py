@@ -48,11 +48,13 @@ def _self_pair_slots(ta: int, tb: int) -> int:
         return 3                       # 2 endpoint spheres + interior
     if key == {GEOM_SPHERE, GEOM_BOX}:
         return 1
-    raise NotImplementedError(
-        f"self pair of geom types {ta} vs {tb}: supported pairs are "
-        "sphere/capsule/box combinations (cylinder and ellipsoid self "
-        "pairs are not used by any task; approximate with capsule/sphere "
-        "collision geoms — reference: dart/collision/** †)")
+    # every remaining convex combination (mesh-vs-anything, cylinder /
+    # ellipsoid pairs) goes through the swept-cloud SAT path — the
+    # TPU-native analogue of the reference's FCL GJK general-pair engine
+    # (`dart/collision/**` †; collision/support.py)
+    from dartenv_tpu.collision.support import SLOTS
+
+    return SLOTS
 
 
 @jax.tree_util.register_dataclass
@@ -180,7 +182,8 @@ def collide_self_pair(model: SkelModel, ga: int, gb: int, Ra, pa, Rb, pb):
 
     # mixed round-vs-box: primitives take (round, box) and return normals
     # box->round; flip when the BOX is geom a so normals stay b->a
-    if GEOM_BOX in (ta, tb):
+    if GEOM_BOX in (ta, tb) and {ta, tb} <= {GEOM_BOX, GEOM_SPHERE,
+                                             GEOM_CAPSULE}:
         flip = ta == GEOM_BOX
         g_r, R_r, p_r = (gb, Rb, pb) if flip else (ga, Ra, pa)
         g_b, R_b, p_b = (ga, Ra, pa) if flip else (gb, Rb, pb)
@@ -199,8 +202,10 @@ def collide_self_pair(model: SkelModel, ga: int, gb: int, Ra, pa, Rb, pb):
             n = -n
         return pos, n, dep
 
-    raise NotImplementedError(
-        f"self pair geom types {ta} vs {tb}")  # pragma: no cover
+    # general convex pair: swept-cloud direction-set SAT
+    from dartenv_tpu.collision.support import collide_support_pair
+
+    return collide_support_pair(model, ga, gb, Ra, pa, Rb, pb)
 
 
 def _halfspace_point(p, r, normal, offset):

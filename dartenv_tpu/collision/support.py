@@ -1,0 +1,198 @@
+"""General convex pair narrowphase: sphere-swept point clouds + direction-
+set SAT (VERDICT.md round 2 order #6).
+
+The reference handles arbitrary convex pairs through FCL's GJK/libccd
+(`dart/collision/**` †, SURVEY.md §2.4 "collision").  GJK's data-dependent
+simplex loop is hostile to fixed-shape SPMD, so the TPU-native design is a
+*directional* separating-axis test over a static candidate set:
+
+  * Every convex geom is a **sphere-swept point cloud** `(points, radius)`:
+    sphere = 1 point + r, capsule = 2 points + r, box = 8 corners,
+    cylinder = two 12-gon rims, ellipsoid = a scaled icosphere shell,
+    mesh = its stored convex vertex cloud (SkelModel.mesh_verts).
+  * Candidate axes = a static 13-direction antipodal grid (the cube's
+    face/edge/corner axes) + both geoms' local frame axes (so box/mesh
+    face contacts use their exact normals) + the centroid-difference
+    direction, each evaluated in both signs.
+  * Along each axis d the swept-cloud supports give the penetration
+    `pen(d) = (max_B d.b + r_B) - (min_A d.a - r_A)`; the contact normal
+    is the axis minimizing pen (the approximate MTV), and the manifold is
+    the up-to-4 deepest A-vertices against B's support plane — the same
+    deterministic `top_k` manifold rule the mesh/box-vs-halfspace paths
+    use (narrowphase.collide), so slot ordering stays static.
+
+Everything is dot products, masked reductions, and one `top_k`: pure VPU
+work under vmap, no data-dependent control flow.  Accuracy note: normals
+are restricted to the candidate set, so edge-edge contacts resolve along
+the nearest sampled axis (within ~15 degrees); face-dominated contacts —
+all the contact regimes the baseline tasks exercise — are exact.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dartenv_tpu.model.skel_model import (
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_ELLIPSOID, GEOM_MESH,
+    GEOM_SPHERE,
+)
+
+SLOTS = 4  # manifold points per SAT pair
+
+
+def _grid_directions() -> np.ndarray:
+    """The 13 antipodal axis classes of the 3x3x3 grid (cube face, edge,
+    corner directions), unit-normalized."""
+    dirs = []
+    for x in (-1, 0, 1):
+        for y in (-1, 0, 1):
+            for z in (-1, 0, 1):
+                v = np.array([x, y, z], dtype=np.float64)
+                if not v.any():
+                    continue
+                v = v / np.linalg.norm(v)
+                if any(np.allclose(v, -u) or np.allclose(v, u)
+                       for u in dirs):
+                    continue
+                dirs.append(v)
+    return np.stack(dirs)
+
+
+_GRID13 = _grid_directions()
+
+
+def _icosphere12() -> np.ndarray:
+    """Icosahedron vertices (12): the ellipsoid shell sample."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    v = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            v += [(0, a, b), (a, b, 0), (b, 0, a)]
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+_ICO12 = _icosphere12()
+_GRID26 = np.concatenate([_grid_directions(), -_grid_directions()])
+_RIM12 = np.stack([np.cos(np.arange(12) * np.pi / 6.0),
+                   np.sin(np.arange(12) * np.pi / 6.0)], axis=1)
+_CORNERS8 = np.array([[sx, sy, sz] for sx in (-1.0, 1.0)
+                      for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)])
+
+
+def cloud_size(model, gi: int) -> int:
+    """Static point count of geom gi's swept-cloud representation."""
+    t = int(np.asarray(model.geom_type)[gi])
+    if t == GEOM_SPHERE:
+        return 1
+    if t == GEOM_CAPSULE:
+        return 2
+    if t == GEOM_BOX:
+        return 8
+    if t == GEOM_CYLINDER:
+        return 24
+    if t == GEOM_ELLIPSOID:
+        return 26
+    if t == GEOM_MESH:
+        return int(model.mesh_verts.shape[1])
+    raise NotImplementedError(f"geom type {t}")
+
+
+def swept_cloud(model, gi: int, Rg, pg):
+    """(points (P,3) world, radius, mask (P,)) for geom gi at pose Rg, pg.
+
+    P is the static `cloud_size`; mask flags valid points (mesh padding).
+    """
+    t = int(np.asarray(model.geom_type)[gi])
+    dtype = pg.dtype
+    size = model.geom_size[gi]
+    if t == GEOM_SPHERE:
+        return pg[None], size[0], jnp.ones((1,), dtype)
+    if t == GEOM_CAPSULE:
+        axis = Rg[:, 2]
+        pts = jnp.stack([pg + axis * size[1], pg - axis * size[1]])
+        return pts, size[0], jnp.ones((2,), dtype)
+    if t == GEOM_BOX:
+        local = jnp.asarray(_CORNERS8, dtype) * size
+        return pg + local @ Rg.T, jnp.zeros((), dtype), jnp.ones((8,), dtype)
+    if t == GEOM_CYLINDER:
+        rim = jnp.asarray(_RIM12, dtype) * size[0]
+        top = jnp.concatenate(
+            [rim, jnp.full((12, 1), 1.0, dtype) * size[1]], axis=1)
+        bot = jnp.concatenate(
+            [rim, jnp.full((12, 1), -1.0, dtype) * size[1]], axis=1)
+        local = jnp.concatenate([top, bot])
+        return pg + local @ Rg.T, jnp.zeros((), dtype), jnp.ones((24,), dtype)
+    if t == GEOM_ELLIPSOID:
+        # exact support points for the 26 grid directions: the support of
+        # an axis-aligned ellipsoid with semi-axes e along unit d is
+        # (e^2 . d) / |e . d| — so the cloud touches the true surface
+        # exactly along every candidate axis (poles included)
+        d = np.asarray(_GRID26)
+        e = size
+        num = (e ** 2) * jnp.asarray(d, dtype)            # (26, 3)
+        den = jnp.linalg.norm(jnp.asarray(d, dtype) * e, axis=1,
+                              keepdims=True)
+        local = num / jnp.maximum(den, 1e-12)
+        return pg + local @ Rg.T, jnp.zeros((), dtype), jnp.ones((26,), dtype)
+    if t == GEOM_MESH:
+        mi = model.geom_mesh[gi]
+        verts = model.mesh_verts[mi]
+        vmask = model.mesh_vmask[mi].astype(dtype)
+        return pg + verts @ Rg.T, jnp.zeros((), dtype), vmask
+    raise NotImplementedError(f"geom type {t}")
+
+
+def sat_pair(ptsA, rA, maskA, ptsB, rB, maskB, Ra, Rb):
+    """Direction-set SAT between swept clouds A and B.
+
+    Returns (pos (SLOTS,3), normal (3,), depth (SLOTS,)): up to SLOTS
+    contact points with per-point depths (<= 0 rows inactive).  The
+    normal points from B toward A (the self-pair convention).
+    """
+    dtype = ptsA.dtype
+    dirs = jnp.concatenate([
+        jnp.asarray(_GRID13, dtype),
+        Ra.T, Rb.T,                                   # local axes as rows
+        _unit(jnp.mean(ptsA, axis=0) - jnp.mean(ptsB, axis=0))[None],
+    ])
+    dirs = jnp.concatenate([dirs, -dirs])             # both signs  (D, 3)
+
+    dA = ptsA @ dirs.T                                # (Pa, D)
+    dB = ptsB @ dirs.T                                # (Pb, D)
+    big = jnp.asarray(1e9, dtype)
+    minA = jnp.min(jnp.where(maskA[:, None] > 0.5, dA, big), axis=0)
+    maxB = jnp.max(jnp.where(maskB[:, None] > 0.5, dB, -big), axis=0)
+    pen = (maxB + rB) - (minA - rA)                   # (D,)
+    i = jnp.argmin(pen)
+    n = dirs[i]
+
+    # manifold: deepest A-vertices against B's support plane along n
+    plane = maxB[i] + rB
+    depth_v = plane - (dA[:, i] - rA)                 # (Pa,)
+    depth_v = jnp.where(maskA > 0.5, depth_v, -big)
+    pa = ptsA.shape[0]
+    if pa < SLOTS:
+        depth_v = jnp.concatenate(
+            [depth_v, jnp.full((SLOTS - pa,), -big, dtype)])
+        ptsA = jnp.concatenate(
+            [ptsA, jnp.zeros((SLOTS - pa, 3), dtype)])
+    top_d, top_i = jax.lax.top_k(depth_v, SLOTS)
+    # surface point of A along -n, pushed to the mid-penetration plane
+    pos = ptsA[top_i] - jnp.outer(jnp.full((SLOTS,), rA, dtype)
+                                  + 0.5 * top_d, n)
+    return pos, n, top_d
+
+
+def _unit(v):
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+def collide_support_pair(model, ga: int, gb: int, Ra, pa, Rb, pb):
+    """Generic convex pair via swept-cloud SAT; same return contract as
+    narrowphase.collide_self_pair (normals point b -> a)."""
+    ptsA, rA, mA = swept_cloud(model, ga, Ra, pa)
+    ptsB, rB, mB = swept_cloud(model, gb, Rb, pb)
+    pos, n, dep = sat_pair(ptsA, rA, mA, ptsB, rB, mB, Ra, Rb)
+    return pos, jnp.broadcast_to(n, (SLOTS, 3)), dep

@@ -68,15 +68,16 @@ class BatchedIndex:
         self.ndof = np.asarray(model.ndof, dtype=np.int32)
 
 
-_INDEX_CACHE: Dict[int, BatchedIndex] = {}
+# keyed by the full topology tuple (NOT its hash: two models whose key
+# tuples hash-collide must not share a BatchedIndex — wrong physics)
+_INDEX_CACHE: Dict[tuple, BatchedIndex] = {}
 
 
 def get_index(model: SkelModel) -> BatchedIndex:
     key = (model.nb, model.parent, model.joint_type, model.q_start)
-    h = hash(key)
-    if h not in _INDEX_CACHE:
-        _INDEX_CACHE[h] = BatchedIndex(model)
-    return _INDEX_CACHE[h]
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = BatchedIndex(model)
+    return _INDEX_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

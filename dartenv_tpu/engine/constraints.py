@@ -298,6 +298,32 @@ def assemble_lcp(model: SkelModel, layout: RowLayout, phi,
     return A, b, lo, hi, active, mu, findex, MinvJt, sel
 
 
+def run_lcp_solver(cfg, findex, A, b, lo, hi, mu, active, lam0):
+    """Dispatch the assembled boxed LCP to the configured solver.
+
+    Single entry point shared by solve_constraints and the validation
+    capture (engine/world.make_lcp_capture), so the residual study / the
+    golden cross-checks measure exactly the production solve — including
+    hybrid escalation when cfg.escalate_frac > 0 (docs/SOLVERS.md).
+    """
+    if cfg.solver == "dantzig":
+        from dartenv_tpu.lcp.dantzig import dantzig_solve
+
+        return dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam0)
+    if cfg.escalate_frac > 0.0:
+        from dartenv_tpu.lcp.hybrid import make_hybrid_solver
+
+        solver = make_hybrid_solver(findex, iters=cfg.pgs_iters,
+                                    omega=cfg.pgs_omega,
+                                    escalate_frac=cfg.escalate_frac,
+                                    escalate_tol=cfg.escalate_tol)
+    else:
+        solver = make_pgs_solver(findex, iters=cfg.pgs_iters,
+                                 omega=cfg.pgs_omega)
+    return solver(A, b, lo, hi, mu, active,
+                  jnp.zeros_like(b) if lam0 is None else lam0)
+
+
 def solve_constraints(model: SkelModel, layout: RowLayout, phi,
                       M, q, dq_before, dq_star, contacts: Contacts, dt,
                       lam_prev=None, servo_target=None):
@@ -326,15 +352,7 @@ def solve_constraints(model: SkelModel, layout: RowLayout, phi,
     else:
         lam0 = None
 
-    if cfg.solver == "dantzig":
-        from dartenv_tpu.lcp.dantzig import dantzig_solve
-
-        lam = dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam0)
-    else:
-        solver = make_pgs_solver(findex, iters=cfg.pgs_iters,
-                                 omega=cfg.pgs_omega)
-        lam = solver(A, b, lo, hi, mu, active,
-                     jnp.zeros_like(b) if lam0 is None else lam0)
+    lam = run_lcp_solver(cfg, findex, A, b, lo, hi, mu, active, lam0)
     dq_plus = dq_star + MinvJt @ lam
     if sel is not None:
         lam = sel.T @ lam          # scatter back to the full row stack

@@ -137,16 +137,10 @@ def make_lcp_capture(model: SkelModel) -> Callable:
             lam0 = lam0 * active
         else:
             lam0 = None
-        if model.solver.solver == "dantzig":
-            from dartenv_tpu.lcp.dantzig import dantzig_solve
+        from dartenv_tpu.engine.constraints import run_lcp_solver
 
-            lam = dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam0)
-        else:
-            from dartenv_tpu.lcp.pgs import pgs_solve
-
-            lam = pgs_solve(A, b, lo, hi, findex, mu, active,
-                            iters=model.solver.pgs_iters,
-                            omega=model.solver.pgs_omega, lam0=lam0)
+        lam = run_lcp_solver(model.solver, findex, A, b, lo, hi, mu,
+                             active, lam0)
         return dict(A=A, b=b, lo=lo, hi=hi, active=active, mu=mu,
                     findex=findex, lam=lam, dq_star=dq_star,
                     dq_plus=dq_star + MinvJt @ lam)

@@ -76,8 +76,12 @@ def make_hopper_task(dtype=jnp.float32, lcp_solver=None,
     world = parse_skel(asset_path("hopper_capsule.skel"), dtype=dtype)
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 4 simultaneously active contact slots for this morphology
+    # pgs_iters/escalate: warm-started PGS with exact-solver escalation of
+    # the worst 1/64 of envs per substep (docs/SOLVERS.md residual study —
+    # hopper's degenerate two-point landings are the motivating case)
     model = with_solver(world.robot, lcp_solver, contact_cap=4,
-                        pgs_iters=20, **solver_kw)
+                        pgs_iters=20, escalate_frac=1.0 / 64,
+                        escalate_tol=1e-5, **solver_kw)
     return HopperTask(model)
 
 

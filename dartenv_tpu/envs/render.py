@@ -190,10 +190,15 @@ def _convex_hull_mask(u, v, xx, yy):
     pts = np.stack([u, v], axis=1)
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    def cross2(a, b):
+        # scalar 2-D cross product (np.cross on 2-D vectors is removed in
+        # NumPy 2.0)
+        return a[0] * b[1] - a[1] * b[0]
+
     def half(points):
         out = []
         for p in points:
-            while len(out) >= 2 and np.cross(
+            while len(out) >= 2 and cross2(
                     out[-1] - out[-2], p - out[-2]) <= 0:
                 out.pop()
             out.append(p)

@@ -66,8 +66,11 @@ def make_walker2d_task(dtype=jnp.float32, lcp_solver=None,
     world = parse_skel(asset_path("walker2d.skel"), dtype=dtype)
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 6 simultaneously active contact slots for this morphology
+    # pgs_iters/escalate: warm-started PGS with exact-solver escalation of
+    # the worst 1/64 of envs per substep (docs/SOLVERS.md residual study)
     model = with_solver(world.robot, lcp_solver, contact_cap=6,
-                        pgs_iters=20, **solver_kw)
+                        pgs_iters=20, escalate_frac=1.0 / 64,
+                        escalate_tol=1e-5, **solver_kw)
     return Walker2dTask(model)
 
 

@@ -23,8 +23,11 @@ from dartenv_tpu.model.skel_model import (
 def _pad_meshes(meshes):
     """Pad a list of (V_i, 3) vertex arrays to (n_mesh, Vmax, 3) + mask.
     Padding repeats the first vertex (keeps world-transform math finite);
-    the mask excludes pad slots from manifold selection."""
-    vmax = max(v.shape[0] for v in meshes)
+    the mask excludes pad slots from manifold selection.  At least 4 slots
+    are always allocated: the narrowphase manifold selection does a
+    top_k(..., 4) over the vertex axis, which requires >= 4 entries even
+    for degenerate 1-3 vertex meshes (ADVICE.md round 2)."""
+    vmax = max(4, max(v.shape[0] for v in meshes))
     verts = np.stack([
         np.concatenate([v, np.repeat(v[:1], vmax - v.shape[0], axis=0)])
         for v in meshes
@@ -41,7 +44,14 @@ def mesh_inertia(mass, verts):
     of the uniform-density axis-aligned bounding box of the vertices (the
     reference computes exact mesh volume integrals via assimp †; for
     collision hulls of primitive-like parts the AABB approximation is
-    within a few percent — pass an explicit inertia for anything better)."""
+    within a few percent — pass an explicit inertia for anything better).
+
+    CENTERING ASSUMPTION (ADVICE.md round 2): the returned tensor is about
+    the AABB *center*, i.e. it assumes the mesh is modeled with its COM at
+    the body-frame inertia origin.  A mesh spanning [0, L] gets the same
+    tensor as one spanning [-L/2, L/2] — no parallel-axis term is added.
+    Loaders with off-center meshes must pass an explicit inertia (and COM
+    offset) instead."""
     verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
     half = 0.5 * (verts.max(axis=0) - verts.min(axis=0))
     return box_inertia(mass, np.maximum(half, 1e-9))
@@ -278,6 +288,10 @@ class ModelBuilder:
         a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
         qs = tuple(q_start)
         nd_t = tuple(ndof)
+        if self._meshes:
+            mverts, mvmask = _pad_meshes(self._meshes)
+        else:
+            mverts = mvmask = None
         return SkelModel(
             nb=nb, n=n, parent=parent,
             joint_type=tuple(b["joint_type"] for b in self._bodies),
@@ -320,10 +334,8 @@ class ModelBuilder:
             geom_restitution=a([g["restitution"] for g in self._geoms]
                                if ng else np.zeros((0,))),
             geom_mesh=tuple(g.get("mesh", -1) for g in self._geoms),
-            mesh_verts=(a(_pad_meshes(self._meshes)[0])
-                        if self._meshes else None),
-            mesh_vmask=(a(_pad_meshes(self._meshes)[1])
-                        if self._meshes else None),
+            mesh_verts=a(mverts) if mverts is not None else None,
+            mesh_vmask=a(mvmask) if mvmask is not None else None,
             wg_normal=a(np.stack([w["normal"] for w in self._wgeoms])
                         if nw else np.zeros((0, 3))),
             wg_offset=a([w["offset"] for w in self._wgeoms]

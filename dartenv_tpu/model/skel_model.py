@@ -86,6 +86,18 @@ class SolverConfig:
     # whenever <= contact_cap slots are simultaneously active (the usual
     # case: the capsule/box feet of these tasks yield 2-4 points).
     contact_cap: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Hybrid residual escalation (VERDICT.md r2 order #3): after the PGS
+    # solve, the worst ceil(escalate_frac * B) envs by normalized
+    # complementarity residual are re-solved with the exact block-pivoting
+    # path (lcp/dantzig.py) and the better point is kept.  The reference
+    # needs no such hybrid — its default solver IS the exact Dantzig
+    # (`dSolveLCP` †); here PGS is the throughput path and escalation
+    # restores the exact solver's worst-case guarantees at ~frac of its
+    # cost.  0.0 disables.  Envs below `escalate_tol` never escalate.
+    escalate_frac: float = dataclasses.field(
+        default=0.0, metadata=dict(static=True))
+    escalate_tol: float = dataclasses.field(
+        default=1e-6, metadata=dict(static=True))
 
 
 def _static(default=None):

@@ -64,7 +64,7 @@ def _origin(elem):
     return rpy_to_mat(*rpy), xyz
 
 
-def _geometry(geom_elem):
+def _geometry(geom_elem, base_dir=None):
     """-> (gtype, size(3,), inertia_fn) or raises on meshes."""
     box = geom_elem.find("box")
     if box is not None:
@@ -90,10 +90,13 @@ def _geometry(geom_elem):
         if fn is None:
             raise ValueError("URDF <mesh> without filename")
         # strip the ROS package:// prefix the reference's DartLoader
-        # resolves through its resource retriever †; here paths are
-        # resolved relative to the cwd / absolute
+        # resolves through its resource retriever †; relative (and
+        # package://-stripped) paths resolve against the URDF file's own
+        # directory, matching skel_parser (ADVICE.md round 2)
         if fn.startswith("package://"):
             fn = fn[len("package://"):]
+        if base_dir is not None and not os.path.isabs(fn):
+            fn = os.path.join(base_dir, fn)
         scale = _floats(mesh.get("scale"), np.ones(3))
         verts = load_mesh(fn, scale=scale)
         return ("mesh", verts, lambda m: mesh_inertia(m, verts))
@@ -115,8 +118,10 @@ def parse_urdf(path_or_string: str, dtype=jnp.float32,
     if os.path.exists(path_or_string):
         tree = ET.parse(path_or_string)
         robot = tree.getroot()
+        base_dir = os.path.dirname(os.path.abspath(path_or_string))
     else:
         robot = ET.fromstring(path_or_string)
+        base_dir = None
     if robot.tag != "robot":
         raise ValueError(f"expected <robot>, got <{robot.tag}>")
     name = robot.get("name", "urdf_robot")
@@ -239,7 +244,7 @@ def parse_urdf(path_or_string: str, dtype=jnp.float32,
             geom_el = col.find("geometry")
             if geom_el is None:
                 continue
-            gtype, size, _fn = _geometry(geom_el)
+            gtype, size, _fn = _geometry(geom_el, base_dir=base_dir)
             R_g, p_g = _origin(col)
             if gtype == "mesh":
                 b.add_mesh_geom(ln, size, pos=p_g, rot=R_g)

@@ -56,7 +56,7 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
     return float(res.max(initial=0.0))
 
 
-def study(env: str, substeps: int, iters_grid, seed=0):
+def study(env: str, substeps: int, iters_grid, seed=0, pgs_iters=None):
     from dartenv_tpu.bench.throughput import make_task
     from dartenv_tpu.engine.world import init_state, make_lcp_capture, \
         make_sim_step
@@ -64,6 +64,9 @@ def study(env: str, substeps: int, iters_grid, seed=0):
 
     task = make_task(env, dtype=jnp.float32)
     model = task.model
+    if pgs_iters is not None:
+        from dartenv_tpu.envs.base import with_solver
+        model = with_solver(model, pgs_iters=pgs_iters)
     step = jax.jit(make_sim_step(model))
     capture = jax.jit(make_lcp_capture(model))
     torque = {"walker2d": 100.0, "hopper": 200.0, "humanwalker": 100.0,
@@ -136,8 +139,10 @@ if __name__ == "__main__":
     p.add_argument("--iters", default="5,10,20,30,50")
     p.add_argument("--device", action="store_true",
                    help="run on the default JAX device instead of CPU")
+    p.add_argument("--pgs_iters", type=int, default=None,
+                   help="override the production PGS iteration budget")
     args = p.parse_args()
     grid = [int(x) for x in args.iters.split(",")]
     envs = [args.env] if args.env else ["walker2d", "hopper"]
     for e in envs:
-        study(e, args.substeps, grid)
+        study(e, args.substeps, grid, pgs_iters=args.pgs_iters)

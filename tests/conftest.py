@@ -29,3 +29,22 @@ jax.config.update("jax_enable_x64", True)
 # dofs x 15 substeps) and dominate test wall-clock on recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Make a missing native tier LOUD (VERDICT.md r2 weak #6): the
+    strongest correctness evidence in the repo (tests/test_exact_solver.py,
+    tests/test_native.py — JAX vs C++ golden cross-checks) silently skips
+    without g++.  Set DARTENV_REQUIRE_NATIVE=1 to turn the skip into a
+    hard failure (CI should)."""
+    from dartenv_tpu import native
+
+    if not native.available():
+        msg = ("NATIVE TIER UNAVAILABLE: g++ golden cross-checks "
+               "(test_native.py, test_exact_solver.py) were SKIPPED — "
+               "the solver-equivalence evidence did not run.")
+        if os.environ.get("DARTENV_REQUIRE_NATIVE"):
+            terminalreporter.write_line(msg, red=True, bold=True)
+            raise RuntimeError(msg)
+        terminalreporter.write_line("WARNING: " + msg, yellow=True,
+                                    bold=True)

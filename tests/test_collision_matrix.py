@@ -208,3 +208,116 @@ def test_contact_cap_overflow_reported():
     st, _, _, _, info = jax.jit(make_env_step(task))(
         st, jnp.zeros(3, dtype=jnp.float64))
     assert float(info["contact_overflow"]) >= 6.0
+
+
+# ---------------------------------------------------------------------------
+# general convex pairs: swept-cloud direction-set SAT (collision/support.py)
+# VERDICT.md r2 order #6 — the walls at mesh-vs-primitive / mesh-mesh and
+# cylinder/ellipsoid self pairs are gone; reference: FCL GJK convex pairs
+# (`dart/collision/**` †).
+# ---------------------------------------------------------------------------
+
+def _mesh_box_verts(half):
+    hx, hy, hz = half
+    return np.array([[sx * hx, sy * hy, sz * hz]
+                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+
+
+def test_mesh_rests_on_box():
+    """Mesh feet on a box: a box-shaped convex vertex cloud dropped onto a
+    fixed box settles at exact stack height (the r2 hard-raise scenario)."""
+    half = (0.15, 0.1, 0.15)
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, (0.5, 0.2, 0.5)))
+    g0 = b.add_geom("bottom", sm.GEOM_BOX, (0.5, 0.2, 0.5))
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=box_inertia(1.0, half), q_init=[0.0, 0.5, 0.0])
+    g1 = b.add_mesh_geom("top", _mesh_box_verts(half), friction=1.0)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3
+    assert float(jnp.sum(contacts.active)) >= 3       # face manifold
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_mesh_rests_on_mesh():
+    half = (0.15, 0.1, 0.15)
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, (0.5, 0.2, 0.5)))
+    g0 = b.add_mesh_geom("bottom", _mesh_box_verts((0.5, 0.2, 0.5)))
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=box_inertia(1.0, half), q_init=[0.0, 0.5, 0.0])
+    g1 = b.add_mesh_geom("top", _mesh_box_verts(half), friction=1.0)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3
+    assert float(jnp.sum(contacts.active)) >= 3
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_capsule_rests_on_mesh():
+    """Capsule (sphere-swept 2-point cloud) on a mesh box top face."""
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, (0.5, 0.2, 0.5)))
+    g0 = b.add_mesh_geom("bottom", _mesh_box_verts((0.5, 0.2, 0.5)))
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=capsule_inertia(1.0, 0.1, 0.3),
+               q_init=[0.0, 0.6, 0.0])
+    # axis = local z = world z: capsule lies horizontally on the face
+    g1 = b.add_geom("top", sm.GEOM_CAPSULE, (0.1, 0.15), friction=1.0)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    # rest: box top (0.2) + capsule radius 0.1 = 0.3
+    assert abs(float(state.q[1]) - 0.3) < 5e-3
+    assert float(jnp.sum(contacts.active)) >= 1
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_cylinder_rests_on_cylinder():
+    """Cylinder-cylinder self pair (r2 hard-raise): crossed cylinders
+    settle at r_top + r_bottom above the bottom axis."""
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=cylinder_inertia(10.0, 0.2, 1.0))
+    # bottom axis along world x
+    rotx = np.array([[0.0, 0, 1.0], [0, 1.0, 0], [-1.0, 0, 0]])
+    g0 = b.add_geom("bottom", sm.GEOM_CYLINDER, (0.2, 0.5), rot=rotx)
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=cylinder_inertia(1.0, 0.15, 1.0),
+               q_init=[0.0, 0.6, 0.0])
+    # top axis along world z -> crossed
+    g1 = b.add_geom("top", sm.GEOM_CYLINDER, (0.15, 0.5), friction=1.0)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    # rim-polygon clouds under-estimate the radius by ~(1 - cos(pi/12)) r;
+    # allow 2% of the stack height
+    assert abs(float(state.q[1]) - 0.35) < 1.5e-2
+    assert float(jnp.sum(contacts.active)) >= 1
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_ellipsoid_rests_on_box():
+    """Ellipsoid-box self pair via the icosphere shell cloud."""
+    radii = (0.15, 0.25, 0.2)
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, (0.5, 0.2, 0.5)))
+    g0 = b.add_geom("bottom", sm.GEOM_BOX, (0.5, 0.2, 0.5))
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=ellipsoid_inertia(1.0, radii),
+               q_init=[0.0, 0.7, 0.0])
+    g1 = b.add_geom("top", sm.GEOM_ELLIPSOID, radii, friction=1.0)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    # icosahedron shell under-estimates the 0.25 semi-axis by up to ~5%
+    assert abs(float(state.q[1]) - 0.45) < 2.5e-2
+    assert float(jnp.sum(contacts.active)) >= 1
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
