@@ -384,8 +384,9 @@ class DartEnv(core.Env):
     @property
     def robot_skeleton(self):
         if self._robot_skeleton is None:
-            from dartenv_tpu.envs.facade import Skeleton
-            self._robot_skeleton = Skeleton(self)
+            # composed multi-skeleton world: the robot is the LAST
+            # skeleton (reference: `world.skeletons[-1]` †)
+            self._robot_skeleton = self.world.skeletons[-1]
         return self._robot_skeleton
 
     @property

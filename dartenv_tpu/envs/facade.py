@@ -94,23 +94,34 @@ class Skeleton:
     `env.set_state` so there is exactly one state owner.
     """
 
-    def __init__(self, env):
+    def __init__(self, env, name=None, body_range=None, dof_range=None):
+        """body_range/dof_range: (start, count) views for one skeleton of
+        a composed multi-skeleton world (model/compose.py); None = the
+        whole model (single-skeleton worlds)."""
         self._env = env
         m = env.model
-        self.name = getattr(m, "name", "robot")
+        self._b0, self._nb = body_range if body_range else (0, m.nb)
+        self._d0, self._nd = dof_range if dof_range else (0, m.n)
+        self.name = name or getattr(m, "name", "robot")
         self.bodynodes: List[BodyNode] = [
-            BodyNode(env, i) for i in range(m.nb)
+            BodyNode(env, self._b0 + i) for i in range(self._nb)
         ]
-        self.joints: List[Joint] = [Joint(env, i) for i in range(m.nb)]
+        self.joints: List[Joint] = [
+            Joint(env, self._b0 + i) for i in range(self._nb)
+        ]
+
+    def _dslice(self):
+        return slice(self._d0, self._d0 + self._nd)
 
     # -- state ------------------------------------------------------------
     @property
     def ndofs(self) -> int:
-        return int(self._env.model.n)
+        return self._nd
 
     @property
     def q(self) -> np.ndarray:
-        return np.asarray(self._env._state.sim.q, dtype=np.float64)
+        return np.asarray(self._env._state.sim.q,
+                          dtype=np.float64)[self._dslice()]
 
     @q.setter
     def q(self, value):
@@ -118,7 +129,8 @@ class Skeleton:
 
     @property
     def dq(self) -> np.ndarray:
-        return np.asarray(self._env._state.sim.dq, dtype=np.float64)
+        return np.asarray(self._env._state.sim.dq,
+                          dtype=np.float64)[self._dslice()]
 
     @dq.setter
     def dq(self, value):
@@ -130,39 +142,58 @@ class Skeleton:
     def velocities(self) -> np.ndarray:
         return self.dq
 
+    def _full(self, part, current):
+        full = np.asarray(current, dtype=np.float64).copy()
+        full[self._dslice()] = np.asarray(part, dtype=np.float64)
+        return full
+
     def set_positions(self, q):
-        self._env.set_state(np.asarray(q, dtype=np.float64), self.dq)
+        sim = self._env._state.sim
+        self._env.set_state(self._full(q, sim.q),
+                            np.asarray(sim.dq, dtype=np.float64))
 
     def set_velocities(self, dq):
-        self._env.set_state(self.q, np.asarray(dq, dtype=np.float64))
+        sim = self._env._state.sim
+        self._env.set_state(np.asarray(sim.q, dtype=np.float64),
+                            self._full(dq, sim.dq))
 
     def set_forces(self, tau):
         """Stage generalized forces for the next world.step() /
         do_simulation (reference: Skeleton.set_forces †)."""
-        self._env._staged_tau = np.asarray(tau, dtype=np.float64)
+        if self._env._staged_tau is None:
+            self._env._staged_tau = np.zeros(self._env.model.n)
+        self._env._staged_tau[self._dslice()] = np.asarray(
+            tau, dtype=np.float64)
 
     def forces(self) -> np.ndarray:
         tau = self._env._staged_tau
-        return np.zeros(self.ndofs) if tau is None else tau.copy()
+        return (np.zeros(self.ndofs) if tau is None
+                else tau[self._dslice()].copy())
 
     def set_commands(self, u):
         """Stage servo velocity commands for dofs with servo_flimit > 0
         (reference: Skeleton::setCommands † with SERVO actuator dofs —
         dart/constraint/ServoMotorConstraint.cpp †)."""
-        self._env._staged_servo = np.asarray(u, dtype=np.float64)
+        if self._env._staged_servo is None:
+            self._env._staged_servo = np.zeros(self._env.model.n)
+        self._env._staged_servo[self._dslice()] = np.asarray(
+            u, dtype=np.float64)
 
     def commands(self) -> np.ndarray:
         u = self._env._staged_servo
-        return np.zeros(self.ndofs) if u is None else u.copy()
+        return (np.zeros(self.ndofs) if u is None
+                else u[self._dslice()].copy())
 
     # -- limits -----------------------------------------------------------
     @property
     def q_lower(self) -> np.ndarray:
-        return np.asarray(self._env.model.q_lower, dtype=np.float64)
+        return np.asarray(self._env.model.q_lower,
+                          dtype=np.float64)[self._dslice()]
 
     @property
     def q_upper(self) -> np.ndarray:
-        return np.asarray(self._env.model.q_upper, dtype=np.float64)
+        return np.asarray(self._env.model.q_upper,
+                          dtype=np.float64)[self._dslice()]
 
     # -- dynamics quantities ---------------------------------------------
     @property
@@ -173,7 +204,8 @@ class Skeleton:
 
         sim = self._env._state.sim
         kin = fk(self._env.model, sim.q, sim.dq)
-        return np.asarray(crba(self._env.model, kin), dtype=np.float64)
+        M = np.asarray(crba(self._env.model, kin), dtype=np.float64)
+        return M[self._dslice(), self._dslice()]
 
     @property
     def c(self) -> np.ndarray:
@@ -185,7 +217,7 @@ class Skeleton:
         kin = fk(self._env.model, sim.q, sim.dq)
         return np.asarray(
             rnea_bias(self._env.model, kin, sim.dq), dtype=np.float64
-        )
+        )[self._dslice()]
 
     def com(self) -> np.ndarray:
         """Whole-skeleton world COM (mass-weighted)."""
@@ -193,10 +225,11 @@ class Skeleton:
 
         m = self._env.model
         R_w, p_w = fk_positions(m, self._env._state.sim.q)
-        mass = np.asarray(m.mass)
-        coms = np.asarray(p_w) + np.einsum(
+        bsl = slice(self._b0, self._b0 + self._nb)
+        mass = np.asarray(m.mass)[bsl]
+        coms = (np.asarray(p_w) + np.einsum(
             "bij,bj->bi", np.asarray(R_w), np.asarray(m.com)
-        )
+        ))[bsl]
         return (mass[:, None] * coms).sum(0) / mass.sum()
 
     def bodynode(self, name: str) -> Optional[BodyNode]:
@@ -249,7 +282,17 @@ class WorldFacade:
 
     def __init__(self, env):
         self._env = env
-        self.skeletons = [Skeleton(env)]
+        ranges = getattr(env.model, "skel_ranges", ())
+        if ranges:
+            # composed multi-skeleton world: one view per source skeleton
+            # (reference: world.skeletons lists every skeleton +)
+            self.skeletons = [
+                Skeleton(env, name=nm, body_range=(b0, nb),
+                         dof_range=(d0, nd))
+                for nm, b0, nb, d0, nd in ranges
+            ]
+        else:
+            self.skeletons = [Skeleton(env)]
 
     @property
     def dt(self) -> float:

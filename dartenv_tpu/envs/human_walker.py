@@ -76,7 +76,13 @@ class HumanWalkerTask(Task):
 def make_humanwalker_task(dtype=jnp.float32, lcp_solver=None,
                           **solver_kw) -> HumanWalkerTask:
     world = parse_skel(asset_path("kima_humanwalker.skel"), dtype=dtype)
-    return HumanWalkerTask(with_solver(world.robot, lcp_solver, **solver_kw))
+    # m = 47 LCP rows x 15 substeps makes the PGS sweep the humanoid's
+    # serial bottleneck: cap the 8 foot-capsule slots at 6, halve the
+    # sweep budget under warm-starting, and let hybrid escalation hold
+    # the worst-case residual (docs/SOLVERS.md)
+    return HumanWalkerTask(with_solver(
+        world.robot, lcp_solver, contact_cap=6, pgs_iters=15,
+        escalate_frac=1.0 / 64, escalate_tol=1e-5, **solver_kw))
 
 
 class DartHumanWalkerEnv(DartEnv, EzPickle):

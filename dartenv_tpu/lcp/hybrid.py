@@ -67,16 +67,33 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
 
 def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                        escalate_frac: float = 0.0,
-                       escalate_tol: float = 1e-6):
+                       escalate_tol: float = 1e-6,
+                       escalate_iters: int = 8):
     """Boxed-LCP solver for ONE env with batch redirection (like
     lcp.pgs.make_pgs_solver) plus exact-solver escalation when
-    escalate_frac > 0."""
+    escalate_frac > 0.
+
+    escalate_iters: block-pivot budget for the re-solve.  The exact path
+    is warm-started from the PGS point, whose free/clamped partition is
+    already nearly correct, so a short refinement reaches solver precision
+    — the full cold-start budget is serial latency the TPU pays for
+    nothing (measured: full budget halves walker2d B=4096 throughput;
+    docs/SOLVERS.md).
+    """
     findex = np.asarray(findex)
 
     def _exact(A, b, lo, hi, mu, active, lam_ws):
         from dartenv_tpu.lcp.dantzig import dantzig_solve
 
-        return dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam_ws)
+        # polish_iters=3: the block-pivot loop's final clip projects onto
+        # bounds evaluated at the DAMPED impulse source; a few PGS sweeps
+        # re-project every row against its own friction bound so the
+        # returned point is exactly box-consistent (without them the f64
+        # complementarity metric sees epsilon-off-bound rows as interior
+        # and charges the full |w|)
+        return dantzig_solve(A, b, lo, hi, findex, mu, active,
+                             iters=escalate_iters, polish_iters=3,
+                             lam0=lam_ws)
 
     @jax.custom_batching.custom_vmap
     def solve(A, b, lo, hi, mu, active, lam0):

@@ -98,6 +98,12 @@ class SolverConfig:
         default=0.0, metadata=dict(static=True))
     escalate_tol: float = dataclasses.field(
         default=1e-6, metadata=dict(static=True))
+    # pivot iterations for the escalation re-solve: it starts from the
+    # PGS point (nearly-correct active set), so a short refinement
+    # suffices — the cold-start budget (24+polish) costs ~5x more wall
+    # clock for no extra accuracy (docs/SOLVERS.md escalation study)
+    escalate_iters: int = dataclasses.field(
+        default=8, metadata=dict(static=True))
 
 
 def _static(default=None):
@@ -130,6 +136,9 @@ class SkelModel:
     dt: float = _static(0.002)                 # physics timestep (skel <physics>)
     name: str = _static("skel")
     solver: SolverConfig = _static(SolverConfig())
+    # multi-skeleton worlds (model/compose.py): per source skeleton
+    # (name, body_start, nb, dof_start, n); () = single skeleton
+    skel_ranges: Tuple = _static(())
 
     # ---- joint frames: pose of joint frame J in parent body frame (T_pj)
     #      and in child body frame (T_cj); relative child pose =

@@ -162,6 +162,15 @@ class ParsedWorld:
     def robot(self) -> sm.SkelModel:
         return self.skeletons[-1]
 
+    @property
+    def combined(self) -> sm.SkelModel:
+        """ALL mobile skeletons composed into one block-diagonal model
+        (reference: World::step iterates every skeleton †); equals `robot`
+        for single-skeleton worlds.  See model/compose.py."""
+        from dartenv_tpu.model.compose import compose_models
+
+        return compose_models(self.skeletons)
+
 
 def parse_skel(path: str, dtype=jnp.float32,
                solver: Optional[sm.SolverConfig] = None) -> ParsedWorld:

@@ -79,9 +79,12 @@ def test_production_pgs_residual_envelope(env, torque):
 
     assert len(residuals) > 20, "rollout never made contact — test is vacuous"
     r = np.asarray(residuals)
-    # docs/SOLVERS.md envelope: production (warm-started, pgs_iters from the
-    # task default) median ~1e-4, p95 ~1e-3 on these rollouts; assert with
-    # an order of magnitude of slack.
-    assert np.median(r) < 1e-3, f"median residual {np.median(r):.2e}"
-    assert np.percentile(r, 95) < 1e-2, \
+    # docs/SOLVERS.md r3 envelope: production (warm-started pgs_iters=10 +
+    # hybrid exact-solver escalation) median ~1e-7, p95 ~1e-6, max ~1e-5 on
+    # these rollouts; assert with an order of magnitude of slack.  Tightened
+    # a full decade from round 2 (VERDICT.md r2 order #3) — the escalation
+    # path is what holds the MAX, so it regressing fails this loudly.
+    assert np.median(r) < 1e-4, f"median residual {np.median(r):.2e}"
+    assert np.percentile(r, 95) < 1e-3, \
         f"p95 residual {np.percentile(r, 95):.2e}"
+    assert r.max() < 1e-4, f"max residual {r.max():.2e}"
