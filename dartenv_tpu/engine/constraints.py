@@ -307,9 +307,11 @@ def run_lcp_solver(cfg, findex, A, b, lo, hi, mu, active, lam0):
     hybrid escalation when cfg.escalate_frac > 0 (docs/SOLVERS.md).
     """
     if cfg.solver == "dantzig":
-        from dartenv_tpu.lcp.dantzig import dantzig_solve
+        from dartenv_tpu.lcp.dantzig import make_exact_solver
 
-        return dantzig_solve(A, b, lo, hi, findex, mu, active, lam0=lam0)
+        solver = make_exact_solver(findex)
+        return solver(A, b, lo, hi, mu, active,
+                      jnp.zeros_like(b) if lam0 is None else lam0)
     if cfg.escalate_frac > 0.0:
         from dartenv_tpu.lcp.hybrid import make_hybrid_solver
 

@@ -143,3 +143,49 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
         x = pgs_solve(A, b, lo, hi, findex, mu, active,
                       iters=polish_iters, lam0=x)
     return x
+
+
+def make_exact_solver(findex, iters: int = 24, polish_iters: int = 10):
+    """Exact boxed-LCP solver for ONE env that redirects a vmapped batch
+    to the Pallas block-principal-pivoting kernel (lcp/pallas_bpp.py) on
+    TPU — the same batch-dispatch pattern as lcp.pgs.make_pgs_solver.
+
+    Used by the production `solver="dantzig"` mode and by the hybrid
+    escalation (lcp/hybrid.py), whose K-env re-solve batch becomes a
+    single fused kernel tile instead of ~40 serial masked XLA solves.
+    """
+    import numpy as _np
+
+    from dartenv_tpu.lcp.pgs import _on_tpu
+
+    findex = _np.asarray(findex)
+
+    @jax.custom_batching.custom_vmap
+    def solve(A, b, lo, hi, mu, active, lam0):
+        return dantzig_solve(A, b, lo, hi, findex, mu, active,
+                             iters=iters, polish_iters=polish_iters,
+                             lam0=lam0)
+
+    @solve.def_vmap
+    def _batched(axis_size, in_batched, *args):
+        args = [
+            a if bat else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, bat in zip(args, in_batched)
+        ]
+        A, b, lo, hi, mu, active, lam0 = args
+        if _on_tpu() and A.dtype == jnp.float32:
+            from dartenv_tpu.lcp.pallas_bpp import bpp_solve_pallas
+
+            out = bpp_solve_pallas(A, b, lo, hi, findex, mu, active,
+                                   iters=iters, polish_iters=polish_iters,
+                                   lam0=lam0)
+        else:
+            out = jax.vmap(
+                lambda Ai, bi, loi, hii, mui, acti, l0i: dantzig_solve(
+                    Ai, bi, loi, hii, findex, mui, acti, iters=iters,
+                    polish_iters=polish_iters, lam0=l0i,
+                )
+            )(A, b, lo, hi, mu, active, lam0)
+        return out, True
+
+    return solve

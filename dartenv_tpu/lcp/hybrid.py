@@ -82,18 +82,20 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
     """
     findex = np.asarray(findex)
 
-    def _exact(A, b, lo, hi, mu, active, lam_ws):
-        from dartenv_tpu.lcp.dantzig import dantzig_solve
+    from dartenv_tpu.lcp.dantzig import make_exact_solver
 
+    _exact_solver = make_exact_solver(findex, iters=escalate_iters,
+                                      polish_iters=3)
+
+    def _exact(A, b, lo, hi, mu, active, lam_ws):
         # polish_iters=3: the block-pivot loop's final clip projects onto
         # bounds evaluated at the DAMPED impulse source; a few PGS sweeps
         # re-project every row against its own friction bound so the
         # returned point is exactly box-consistent (without them the f64
         # complementarity metric sees epsilon-off-bound rows as interior
-        # and charges the full |w|)
-        return dantzig_solve(A, b, lo, hi, findex, mu, active,
-                             iters=escalate_iters, polish_iters=3,
-                             lam0=lam_ws)
+        # and charges the full |w|).  make_exact_solver redirects the
+        # vmapped K-env escalation batch to the Pallas BPP kernel on TPU.
+        return _exact_solver(A, b, lo, hi, mu, active, lam_ws)
 
     @jax.custom_batching.custom_vmap
     def solve(A, b, lo, hi, mu, active, lam0):

@@ -52,7 +52,8 @@ def _pgs_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, invd_ref,
 
 
 def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
-                     omega: float = 1.0, lam0=None):
+                     omega: float = 1.0, lam0=None,
+                     interpret: bool = False):
     """Batched solve.  A: (B, m, m); b/lo/hi/mu/active: (B, m); findex is a
     static numpy (m,) array.  Returns lam (B, m).
 
@@ -95,6 +96,7 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
         in_specs=[block3] + [block2] * 7,
         out_specs=block2,
         out_shape=jax.ShapeDtypeStruct((m, Bp), dtype),
+        interpret=interpret,
     )(A_t, *args)
     lam = jnp.moveaxis(lam_t, -1, 0)
     return lam[:B] if pad else lam
