@@ -178,3 +178,23 @@ def test_facade_exposes_all_skeletons():
     assert abs(float(s_arm.q[0]) - 0.7) < 1e-12
     # per-skeleton M blocks are the composed blocks (block-diagonal)
     assert s_arm.M.shape == (1, 1) and s_box.M.shape == (6, 6)
+
+
+def test_composed_model_vmapped_batch():
+    """The composed multi-skeleton model steps under vmap like any other
+    SkelModel (the TPU batching path is skeleton-count agnostic)."""
+    model = compose_models([_pendulum_model(), _box_model()])
+    step = make_sim_step(model)
+    B = 16
+    state = init_state(model)
+    bstate = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), state)
+    # per-env ram force: half push, half idle
+    taus = jnp.zeros((B, model.n)).at[: B // 2, 0].set(8.0)
+    vstep = jax.jit(jax.vmap(step))
+    for _ in range(400):
+        bstate, contacts = vstep(bstate, taus)
+    box_x = np.asarray(bstate.q[:, 4])
+    assert (box_x[: B // 2] > 0.45).all(), box_x  # pushed boxes moved
+    assert (np.abs(box_x[B // 2:] - 0.35) < 0.05).all(), box_x  # idle stay
+    assert bool(jnp.all(jnp.isfinite(bstate.q)))
