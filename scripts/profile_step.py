@@ -88,6 +88,16 @@ def main(batch=4096, nsteps=100, env="walker2d"):
             return SimState(q=integrate_positions(model, q, dq_star, dt),
                             dq=dq_star + 0 * dq_plus,
                             time=state.time + dt)
+        if mode == "no_escalate":
+            # production PGS without the hybrid exact-escalation pass
+            import dataclasses as _dc
+            m2 = model.replace(solver=_dc.replace(model.solver,
+                                                  escalate_frac=0.0))
+            dq_plus, _ = solve_constraints(
+                m2, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+            )
+            return SimState(q=integrate_positions(model, q, dq_plus, dt),
+                            dq=dq_plus, time=state.time + dt)
         dq_plus, _ = solve_constraints(
             model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
         )
@@ -95,7 +105,8 @@ def main(batch=4096, nsteps=100, env="walker2d"):
         return SimState(q=q_new, dq=dq_plus, time=state.time + dt)
 
     results = {}
-    for mode in ["no_constr", "no_collide_cost", "no_lcp", "full"]:
+    for mode in ["no_constr", "no_collide_cost", "no_lcp", "no_escalate",
+                 "full"]:
         step_b = jax.vmap(lambda s, t, mode=mode: substep(s, t, mode))
 
         def rollout(state, tau, step_b=step_b):

@@ -177,3 +177,66 @@ def test_dantzig_warm_start_consistency():
         warm = dantzig_solve(A, b, lo, hi, findex, mu, act, lam0=lam0)
         np.testing.assert_allclose(np.asarray(warm), np.asarray(cold),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_pallas_bpp_matches_cpp_golden_on_engine_problems():
+    """The Pallas BPP kernel (interpret mode, f64) solves ENGINE-captured
+    boxed LCPs to the same complementarity points as the C++ golden —
+    the same adjudication rules as the XLA-path tests above, on a
+    shorter rollout (the kernel's XLA-equivalence is covered problem-
+    for-problem in tests/test_pallas_kernels.py)."""
+    from dartenv_tpu.envs.walker2d import make_walker2d_task
+    from dartenv_tpu.lcp.pallas_bpp import bpp_solve_pallas
+
+    task = make_walker2d_task(dtype=jnp.float64, lcp_solver="dantzig")
+    model = task.model
+    step = jax.jit(make_sim_step(model))
+    capture = jax.jit(make_lcp_capture(model))
+    state = init_state(model, warm_start=False)
+    rng = np.random.default_rng(7)
+    tau = jnp.zeros(model.n, dtype=jnp.float64)
+
+    probs = []
+    for k in range(240):
+        if k % task.frame_skip == 0:
+            a = rng.uniform(-1.0, 1.0, model.n - 3)
+            tau = jnp.zeros(model.n, dtype=jnp.float64).at[3:].set(
+                jnp.asarray(a) * 100.0)
+        prob = capture(state, tau)
+        if float(jnp.sum(prob["active"])) > 0:
+            probs.append({k2: np.asarray(v) for k2, v in prob.items()
+                          if k2 != "findex"}
+                         | {"findex": np.asarray(prob["findex"])})
+        state, _ = step(state, tau)
+    assert len(probs) > 40, "rollout not contact-rich"
+
+    findex = probs[0]["findex"]
+    stack = lambda key: jnp.asarray(np.stack([p[key] for p in probs]))
+    lam_pal = np.asarray(bpp_solve_pallas(
+        stack("A"), stack("b"), stack("lo"), stack("hi"), findex,
+        stack("mu"), stack("active"), interpret=True))
+
+    n_mismatch = 0
+    for i, p in enumerate(probs):
+        active = p["active"] > 0.5
+        lo = np.where(active, p["lo"], 0.0)
+        hi = np.where(active, p["hi"], 0.0)
+        x_cpp, _, bad = native.lcp_solve(
+            p["A"], p["b"], lo, hi, findex, p["mu"])
+        assert bad == 0
+        scale = max(1.0, np.abs(x_cpp).max())
+        if not np.allclose(lam_pal[i], x_cpp, atol=1e-7 * scale,
+                           rtol=1e-6):
+            n_mismatch += 1
+            res_pal = _comp_residual(p["A"], p["b"], lam_pal[i], lo, hi,
+                                     findex, p["mu"])
+            res_cpp = _comp_residual(p["A"], p["b"], x_cpp, lo, hi,
+                                     findex, p["mu"])
+            gap = float(np.max(np.abs(p["A"] @ (lam_pal[i] - x_cpp))))
+            assert res_pal < 1e-4 * scale and res_cpp < 1e-4 * scale, (
+                f"problem {i}: non-converged (pal={res_pal:.3e} "
+                f"cpp={res_cpp:.3e})")
+            assert gap < 1e-2, f"problem {i}: velocity gap {gap:.3e}"
+    assert n_mismatch <= max(2, len(probs) // 50), (
+        f"{n_mismatch}/{len(probs)} captured problems disagree with the "
+        "C++ golden")
