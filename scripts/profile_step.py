@@ -61,14 +61,14 @@ def main(batch=4096, nsteps=100, env="walker2d"):
             return SimState(q=q_new, dq=dq_star, time=state.time + dt)
         contacts = collide(model, kin.R_w, kin.p_w)
         if mode == "no_lcp":
-            # assembly + A-build, but lam = 0 (isolates the PGS solve cost)
-            from dartenv_tpu.engine.constraints import assemble_rows
-            from dartenv_tpu.math.linalg import chol, chol_solve
-            J, b, lo, hi, act, mu = assemble_rows(
-                model, layout, kin.phi, q, dq, dq_star, contacts, dt)
-            L = chol(M, eps=1e-10)
-            MinvJt = chol_solve(L, J.T)
-            A = J @ MinvJt
+            # assembly + A-build via the PRODUCTION path (assemble_lcp —
+            # the large-n models use the Schur inverse, NOT the batched
+            # XLA cholesky, which is ~100x off and would make this
+            # ablation slower than `full`), but lam = 0 (isolates the
+            # solver cost)
+            from dartenv_tpu.engine.constraints import assemble_lcp
+            A, b, lo, hi, act, mu, fidx, MinvJt, sel = assemble_lcp(
+                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt)
             dq_plus = dq_star + MinvJt @ (0.0 * b + 1e-12 * A[:, 0])
             return SimState(q=integrate_positions(model, q, dq_plus, dt),
                             dq=dq_plus, time=state.time + dt)
