@@ -26,6 +26,16 @@ warm-started) impulses and rank first at the next substep, so persistent
 degeneracies clear within a substep or two.  For an UNBATCHED solve the
 escalation is a `lax.cond` — the facade / single-env path simply gets the
 exact re-solve whenever PGS leaves residual above tolerance.
+
+Sharding note: under `shard_map` the batch rule sees each device's env
+shard, so the worst-K selection is PER DEVICE (total capacity K_total =
+ceil(frac * B_shard) * n_devices == ceil(frac * B), selection locality
+per shard).  This keeps the step free of cross-device collectives — the
+framework's core scaling invariant (docs/SCALING.md) — at the cost that
+a sharded and an unsharded run may escalate *different* envs when
+offenders cluster on one device; both still satisfy the residual
+envelope, and the next-substep ranking property cleans up any shard
+whose offenders exceeded its local capacity.
 """
 from __future__ import annotations
 
