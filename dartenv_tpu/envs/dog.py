@@ -64,7 +64,7 @@ def make_dog_task(dtype=jnp.float32, lcp_solver=None,
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 8 simultaneously active contact slots for this morphology
     model = with_solver(world.robot, lcp_solver, contact_cap=8,
-                        pgs_iters=20, escalate_frac=1.0 / 64,
+                        pgs_iters=20, escalate_frac=1.0 / 32,
                         escalate_tol=1e-5, **solver_kw)
     return DogTask(model)
 

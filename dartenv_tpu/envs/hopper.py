@@ -80,7 +80,7 @@ def make_hopper_task(dtype=jnp.float32, lcp_solver=None,
     # the worst 1/64 of envs per substep (docs/SOLVERS.md residual study —
     # hopper's degenerate two-point landings are the motivating case)
     model = with_solver(world.robot, lcp_solver, contact_cap=4,
-                        pgs_iters=10, escalate_frac=1.0 / 64,
+                        pgs_iters=10, escalate_frac=1.0 / 32,
                         escalate_tol=1e-5, **solver_kw)
     return HopperTask(model)
 

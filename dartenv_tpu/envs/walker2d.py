@@ -69,7 +69,7 @@ def make_walker2d_task(dtype=jnp.float32, lcp_solver=None,
     # pgs_iters/escalate: warm-started PGS with exact-solver escalation of
     # the worst 1/64 of envs per substep (docs/SOLVERS.md residual study)
     model = with_solver(world.robot, lcp_solver, contact_cap=6,
-                        pgs_iters=10, escalate_frac=1.0 / 64,
+                        pgs_iters=8, escalate_frac=1.0 / 32,
                         escalate_tol=1e-5, **solver_kw)
     return Walker2dTask(model)
 
