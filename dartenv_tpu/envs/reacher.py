@@ -83,7 +83,12 @@ class ReacherTask(Task):
 def make_reacher_task(dtype=jnp.float32, lcp_solver=None,
                       **solver_kw) -> ReacherTask:
     world = parse_skel(asset_path("reacher.skel"), dtype=dtype)
-    return ReacherTask(with_solver(world.robot, lcp_solver, **solver_kw))
+    # LCP = 5 joint-limit rows, no friction coupling: PGS on the small
+    # SPD operator converges in a few sweeps; 10 matches the 30-sweep
+    # result to solver precision (tests/test_constraints limit tests)
+    # and removes 2/3 of the solve's serial row updates
+    return ReacherTask(with_solver(world.robot, lcp_solver, pgs_iters=10,
+                                   **solver_kw))
 
 
 class DartReacherEnv(DartEnv, EzPickle):

@@ -78,7 +78,8 @@ class Reacher2dTask(Task):
 def make_reacher2d_task(dtype=jnp.float32, lcp_solver=None,
                         **solver_kw) -> Reacher2dTask:
     world = parse_skel(asset_path("reacher2d.skel"), dtype=dtype)
-    return Reacher2dTask(with_solver(world.robot, lcp_solver, **solver_kw))
+    return Reacher2dTask(with_solver(world.robot, lcp_solver, pgs_iters=10,
+                                     **solver_kw))
 
 
 class DartReacher2dEnv(DartEnv, EzPickle):

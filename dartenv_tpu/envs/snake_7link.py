@@ -48,7 +48,8 @@ class Snake7LinkTask(Task):
 def make_snake7link_task(dtype=jnp.float32, lcp_solver=None,
                          **solver_kw) -> Snake7LinkTask:
     world = parse_skel(asset_path("snake_7link.skel"), dtype=dtype)
-    return Snake7LinkTask(with_solver(world.robot, lcp_solver, **solver_kw))
+    return Snake7LinkTask(with_solver(world.robot, lcp_solver, pgs_iters=10,
+                                      **solver_kw))
 
 
 class DartSnake7LinkEnv(DartEnv, EzPickle):
