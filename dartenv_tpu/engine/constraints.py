@@ -319,7 +319,8 @@ def run_lcp_solver(cfg, findex, A, b, lo, hi, mu, active, lam0):
                                     omega=cfg.pgs_omega,
                                     escalate_frac=cfg.escalate_frac,
                                     escalate_tol=cfg.escalate_tol,
-                                    escalate_iters=cfg.escalate_iters)
+                                    escalate_iters=cfg.escalate_iters,
+                                    escalate_kmax=cfg.escalate_kmax)
     else:
         solver = make_pgs_solver(findex, iters=cfg.pgs_iters,
                                  omega=cfg.pgs_omega)

@@ -78,7 +78,8 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
 def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                        escalate_frac: float = 0.0,
                        escalate_tol: float = 1e-6,
-                       escalate_iters: int = 8):
+                       escalate_iters: int = 8,
+                       escalate_kmax: int = 128):
     """Boxed-LCP solver for ONE env with batch redirection (like
     lcp.pgs.make_pgs_solver) plus exact-solver escalation when
     escalate_frac > 0.
@@ -147,7 +148,10 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
             return lam, True
 
         B = axis_size
-        K = min(B, max(1, int(np.ceil(B * escalate_frac))))
+        # kmax caps K at one BPP kernel tile: the kernel's grid runs
+        # tiles sequentially, so capacity beyond a tile costs real wall
+        # clock for coverage the next-substep ranking already provides
+        K = min(B, escalate_kmax, max(1, int(np.ceil(B * escalate_frac))))
         nres = comp_residual(A, b, lam, lo, hi, findex, mu, active)  # (B,)
         worst, idx = jax.lax.top_k(nres, K)
         g = lambda x: jnp.take(x, idx, axis=0)

@@ -104,6 +104,16 @@ class SolverConfig:
     # clock for no extra accuracy (docs/SOLVERS.md escalation study)
     escalate_iters: int = dataclasses.field(
         default=8, metadata=dict(static=True))
+    # cap on the escalation batch K (one 128-lane BPP kernel tile).
+    # Measured at B=8192: capping K 256 -> 128 changed nothing (483k vs
+    # 494k env-steps/s, run noise) — the escalation's large-B cost is
+    # bandwidth-bound in its B-proportional phases (the residual einsum
+    # re-reads every env's Delassus block, plus top_k/gather/scatter),
+    # not in the K-proportional kernel.  The cap stays as a semantic
+    # bound: escalation capacity never exceeds one kernel tile, so its
+    # cost model is flat in frac for K <= 128 (docs/BENCH.md).
+    escalate_kmax: int = dataclasses.field(
+        default=128, metadata=dict(static=True))
 
 
 def _static(default=None):
