@@ -132,11 +132,21 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
             for a, bat in zip(args, in_batched)
         ]
         A, b, lo, hi, mu, active, lam0 = args
+        esc = escalate_frac > 0.0 and b.shape[-1] > 0
+        nres = None
         if _on_tpu() and A.dtype == jnp.float32:
             from dartenv_tpu.lcp.pallas_pgs import pgs_solve_pallas
 
-            lam = pgs_solve_pallas(A, b, lo, hi, findex, mu, active,
-                                   iters=iters, omega=omega, lam0=lam0)
+            if esc:
+                # residual fused into the kernel (A stays VMEM-resident;
+                # no second HBM pass over the Delassus blocks)
+                lam, nres = pgs_solve_pallas(
+                    A, b, lo, hi, findex, mu, active, iters=iters,
+                    omega=omega, lam0=lam0, return_residual=True)
+            else:
+                lam = pgs_solve_pallas(A, b, lo, hi, findex, mu, active,
+                                       iters=iters, omega=omega,
+                                       lam0=lam0)
         else:
             lam = jax.vmap(
                 lambda Ai, bi, loi, hii, mui, acti, l0i: pgs_solve(
@@ -144,7 +154,7 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                     omega=omega, lam0=l0i,
                 )
             )(A, b, lo, hi, mu, active, lam0)
-        if escalate_frac <= 0.0 or lam.shape[-1] == 0:
+        if not esc:
             return lam, True
 
         B = axis_size
@@ -152,7 +162,9 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
         # tiles sequentially, so capacity beyond a tile costs real wall
         # clock for coverage the next-substep ranking already provides
         K = min(B, escalate_kmax, max(1, int(np.ceil(B * escalate_frac))))
-        nres = comp_residual(A, b, lam, lo, hi, findex, mu, active)  # (B,)
+        if nres is None:
+            nres = comp_residual(A, b, lam, lo, hi, findex, mu,
+                                 active)  # (B,)
         worst, idx = jax.lax.top_k(nres, K)
         g = lambda x: jnp.take(x, idx, axis=0)
         Ak, bk, lok, hik, muk, actk, lamk = map(

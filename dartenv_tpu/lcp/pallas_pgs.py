@@ -26,7 +26,7 @@ TB = 128  # envs per tile (lane width)
 
 
 def _pgs_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, invd_ref,
-                lam0_ref, lam_ref, *, findex, iters: int):
+                lam0_ref, lam_ref, *res_ref, findex, iters: int):
     m = b_ref.shape[0]
     fidx = np.maximum(findex, 0)
     has_f = findex >= 0
@@ -50,10 +50,41 @@ def _pgs_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, invd_ref,
 
     jax.lax.fori_loop(0, iters, sweep, 0)
 
+    if res_ref:
+        # fused normalized complementarity residual (same metric as
+        # lcp.hybrid.comp_residual) — A is already VMEM-resident here, so
+        # this avoids the hybrid's extra HBM pass over every env's
+        # Delassus block (the B-proportional escalation cost measured in
+        # docs/BENCH.md's B-sweep diagnosis)
+        (res_out,) = res_ref
+        lam = lam_ref[...]
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(lam), axis=0))  # (TB,)
+        eps = 1e-6 * scale + 1e-9
+        res = jnp.zeros_like(scale)
+        for i in range(m):
+            w = jnp.sum(A_ref[i] * lam, axis=0) + b_ref[i]
+            if has_f[i]:
+                bound = mu_ref[i] * jnp.abs(lam[fidx[i]])
+                lo_e = jnp.maximum(lo_ref[i], -bound)
+                hi_e = jnp.minimum(hi_ref[i], bound)
+            else:
+                lo_e = lo_ref[i]
+                hi_e = hi_ref[i]
+            at_lo = lam[i] <= lo_e + eps
+            at_hi = lam[i] >= hi_e - eps
+            r_i = jnp.where(jnp.logical_and(at_lo, at_hi), 0.0,
+                            jnp.where(at_lo, -w,
+                                      jnp.where(at_hi, w, jnp.abs(w))))
+            r_i = jnp.maximum(r_i, jnp.maximum(lo_e - lam[i],
+                                               lam[i] - hi_e))
+            res = jnp.maximum(res, jnp.where(act_ref[i] > 0.5, r_i, 0.0))
+        res_out[0] = res / scale
+
 
 def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
                      omega: float = 1.0, lam0=None,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     return_residual: bool = False):
     """Batched solve.  A: (B, m, m); b/lo/hi/mu/active: (B, m); findex is a
     static numpy (m,) array.  Returns lam (B, m).
 
@@ -90,6 +121,21 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
     kernel = functools.partial(
         _pgs_kernel, findex=np.asarray(findex), iters=iters
     )
+    if return_residual:
+        block_res = pl.BlockSpec((1, TB), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        lam_t, res_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[block3] + [block2] * 7,
+            out_specs=(block2, block_res),
+            out_shape=(jax.ShapeDtypeStruct((m, Bp), dtype),
+                       jax.ShapeDtypeStruct((1, Bp), dtype)),
+            interpret=interpret,
+        )(A_t, *args)
+        lam = jnp.moveaxis(lam_t, -1, 0)
+        res = res_t[0]
+        return (lam[:B], res[:B]) if pad else (lam, res)
     lam_t = pl.pallas_call(
         kernel,
         grid=grid,

@@ -93,3 +93,16 @@ def test_pallas_bpp_warm_start_refinement():
                            polish_iters=3, lam0=lam_pgs, interpret=True)
     r = np.asarray(comp_residual(A, b, lam, lo, hi, findex, mu, act))
     assert r.max() < 1e-4, f"refined residuals {r}"
+
+
+def test_pallas_pgs_fused_residual_matches_metric():
+    """The kernel's fused residual output equals the reference metric
+    (lcp.hybrid.comp_residual) on the kernel's own solution."""
+    from dartenv_tpu.lcp.hybrid import comp_residual
+
+    A, b, lo, hi, mu, act, findex = _problems(seed=4)
+    lam, res = pgs_solve_pallas(A, b, lo, hi, findex, mu, act, iters=10,
+                                interpret=True, return_residual=True)
+    res_ref = comp_residual(A, b, lam, lo, hi, findex, mu, act)
+    np.testing.assert_allclose(np.asarray(res), np.asarray(res_ref),
+                               rtol=1e-4, atol=1e-7)
