@@ -65,7 +65,7 @@ def make_dog_task(dtype=jnp.float32, lcp_solver=None,
     # 8 simultaneously active contact slots for this morphology
     model = with_solver(world.robot, lcp_solver, contact_cap=8,
                         pgs_iters=20, escalate_frac=1.0 / 32,
-                        escalate_tol=1e-5, **solver_kw)
+                        escalate_tol=1e-5, escalate_iters=32, **solver_kw)
     return DogTask(model)
 
 

@@ -82,7 +82,7 @@ def make_humanwalker_task(dtype=jnp.float32, lcp_solver=None,
     # the worst-case residual (docs/SOLVERS.md)
     return HumanWalkerTask(with_solver(
         world.robot, lcp_solver, contact_cap=6, pgs_iters=15,
-        escalate_frac=1.0 / 32, escalate_tol=1e-5, **solver_kw))
+        escalate_frac=1.0 / 32, escalate_tol=1e-5, escalate_iters=20, **solver_kw))
 
 
 class DartHumanWalkerEnv(DartEnv, EzPickle):

@@ -56,7 +56,8 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
     return float(res.max(initial=0.0))
 
 
-def study(env: str, substeps: int, iters_grid, seed=0, pgs_iters=None):
+def study(env: str, substeps: int, iters_grid, seed=0, pgs_iters=None,
+          escalate_iters=None):
     from dartenv_tpu.bench.throughput import make_task
     from dartenv_tpu.engine.world import init_state, make_lcp_capture, \
         make_sim_step
@@ -64,9 +65,11 @@ def study(env: str, substeps: int, iters_grid, seed=0, pgs_iters=None):
 
     task = make_task(env, dtype=jnp.float32)
     model = task.model
+    from dartenv_tpu.envs.base import with_solver
     if pgs_iters is not None:
-        from dartenv_tpu.envs.base import with_solver
         model = with_solver(model, pgs_iters=pgs_iters)
+    if escalate_iters is not None:
+        model = with_solver(model, escalate_iters=escalate_iters)
     step = jax.jit(make_sim_step(model))
     capture = jax.jit(make_lcp_capture(model))
     torque = {"walker2d": 100.0, "hopper": 200.0, "humanwalker": 100.0,
@@ -141,8 +144,11 @@ if __name__ == "__main__":
                    help="run on the default JAX device instead of CPU")
     p.add_argument("--pgs_iters", type=int, default=None,
                    help="override the production PGS iteration budget")
+    p.add_argument("--escalate_iters", type=int, default=None,
+                   help="override the escalation pivot budget")
     args = p.parse_args()
     grid = [int(x) for x in args.iters.split(",")]
     envs = [args.env] if args.env else ["walker2d", "hopper"]
     for e in envs:
-        study(e, args.substeps, grid, pgs_iters=args.pgs_iters)
+        study(e, args.substeps, grid, pgs_iters=args.pgs_iters,
+              escalate_iters=args.escalate_iters)
