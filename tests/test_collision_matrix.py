@@ -321,3 +321,29 @@ def test_ellipsoid_rests_on_box():
     assert abs(float(state.q[1]) - 0.45) < 2.5e-2
     assert float(jnp.sum(contacts.active)) >= 1
     assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
+
+
+def test_mesh_rests_on_box_rotated():
+    """SAT pair under a 45-degree yaw: the contact normal comes from the
+    frame-axis candidate set, so rotated face contacts stay exact."""
+    import math
+    half = (0.15, 0.1, 0.15)
+    yaw = math.pi / 4
+    Ry = np.array([[math.cos(yaw), 0, math.sin(yaw)],
+                   [0, 1.0, 0],
+                   [-math.sin(yaw), 0, math.cos(yaw)]])
+    b = ModelBuilder(dt=0.002)
+    b.add_body("bottom", None, sm.WELD, mass=10.0,
+               inertia=box_inertia(10.0, (0.5, 0.2, 0.5)))
+    g0 = b.add_geom("bottom", sm.GEOM_BOX, (0.5, 0.2, 0.5))
+    b.add_body("top", "bottom", sm.TRANSLATIONAL, mass=1.0,
+               inertia=box_inertia(1.0, half), q_init=[0.0, 0.5, 0.0])
+    # yawed mesh box: vertical faces no longer world-axis aligned
+    verts = _mesh_box_verts(half) @ Ry.T
+    g1 = b.add_mesh_geom("top", verts, friction=1.0)
+    b.add_self_pair(g1, g0)
+    model = b.finalize(dtype=jnp.float64)
+    state, contacts = _settle(model)
+    assert abs(float(state.q[1]) - 0.3) < 5e-3
+    assert float(jnp.sum(contacts.active)) >= 3
+    assert float(jnp.max(jnp.abs(state.dq))) < 1e-2
