@@ -198,3 +198,35 @@ def test_composed_model_vmapped_batch():
     assert (box_x[: B // 2] > 0.45).all(), box_x  # pushed boxes moved
     assert (np.abs(box_x[B // 2:] - 0.35) < 0.05).all(), box_x  # idle stay
     assert bool(jnp.all(jnp.isfinite(bstate.q)))
+
+
+def test_compose_three_skeletons():
+    """Composition scales past two: ram + TWO stacked free boxes, all
+    coupled through cross-skeleton pairs, stepping finite under jit."""
+    def small_box(x, y, name):
+        b = ModelBuilder(dt=0.002)
+        half = (0.08, 0.08, 0.08)
+        b.add_body(name, None, sm.FREE, mass=0.2,
+                   inertia=box_inertia(0.2, half),
+                   q_init=[0.0, 0.0, 0.0, x, y, 0.0])
+        b.add_geom(name, sm.GEOM_BOX, half, friction=0.4)
+        b.add_ground()
+        return b.finalize(dtype=jnp.float64)
+
+    ram = _pendulum_model()
+    box1 = small_box(0.35, 0.081, "b1")
+    box2 = small_box(0.35, 0.243, "b2")      # stacked on box1
+    model = compose_models([ram, box1, box2])
+    assert model.nb == 3 and model.n == 13
+    assert len(model.skel_ranges) == 3
+    # all three cross pairs exist: ram-b1, ram-b2, b1-b2
+    assert {(0, 1), (0, 2), (1, 2)} <= set(model.self_pairs)
+
+    step = jax.jit(make_sim_step(model))
+    state = init_state(model)
+    tau = jnp.zeros(model.n, dtype=jnp.float64).at[0].set(8.0)
+    for _ in range(500):
+        state, contacts = step(state, tau)
+    assert bool(jnp.all(jnp.isfinite(state.q)))
+    # the ram drove through: bottom box displaced
+    assert float(state.q[4]) > 0.40

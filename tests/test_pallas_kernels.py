@@ -106,3 +106,26 @@ def test_pallas_pgs_fused_residual_matches_metric():
     res_ref = comp_residual(A, b, lam, lo, hi, findex, mu, act)
     np.testing.assert_allclose(np.asarray(res), np.asarray(res_ref),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_hybrid_escalate_kmax_caps_batch():
+    """escalate_kmax bounds the escalation batch without breaking the
+    solve: with kmax=2 on an 8-problem batch, results remain valid LCP
+    points and the worst offenders still improve across repeated solves
+    (the ranking-persistence property)."""
+    from dartenv_tpu.lcp.hybrid import comp_residual, make_hybrid_solver
+
+    A, b, lo, hi, mu, act, findex = _problems(seed=6)
+    solver = make_hybrid_solver(findex, iters=3, escalate_frac=1.0,
+                                escalate_tol=1e-6, escalate_iters=12,
+                                escalate_kmax=2)
+    lam0 = jnp.zeros_like(b)
+    lam = jax.vmap(solver)(A, b, lo, hi, mu, act, lam0)
+    r1 = np.asarray(comp_residual(A, b, lam, lo, hi, findex, mu, act))
+    # second pass warm-started from the first: the next-worst offenders
+    # get escalated now
+    lam2 = jax.vmap(solver)(A, b, lo, hi, mu, act, lam)
+    r2 = np.asarray(comp_residual(A, b, lam2, lo, hi, findex, mu, act))
+    assert np.isfinite(np.asarray(lam2)).all()
+    assert np.sort(r2)[-1] <= np.sort(r1)[-1] + 1e-7   # tail not worse
+    assert (np.sort(r2)[:4] < 1e-4).all()              # escalated ones clean
