@@ -63,10 +63,10 @@ def make_dog_task(dtype=jnp.float32, lcp_solver=None,
     world = parse_skel(asset_path("dog.skel"), dtype=dtype)
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 8 simultaneously active contact slots for this morphology
-    model = with_solver(world.robot, lcp_solver, contact_cap=8,
-                        pgs_iters=20, escalate_frac=1.0 / 32,
-                        escalate_tol=1e-5, escalate_iters=32, **solver_kw)
-    return DogTask(model)
+    kw = dict(contact_cap=8, pgs_iters=20, escalate_frac=1.0 / 32,
+              escalate_tol=1e-5, escalate_iters=32)
+    kw.update(solver_kw)           # caller overrides beat the task defaults
+    return DogTask(with_solver(world.robot, lcp_solver, **kw))
 
 
 class DartDogEnv(DartEnv, EzPickle):

@@ -77,12 +77,12 @@ def make_hopper_task(dtype=jnp.float32, lcp_solver=None,
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 4 simultaneously active contact slots for this morphology
     # pgs_iters/escalate: warm-started PGS with exact-solver escalation of
-    # the worst 1/64 of envs per substep (docs/SOLVERS.md residual study —
+    # the worst 1/32 of envs per substep (docs/SOLVERS.md residual study —
     # hopper's degenerate two-point landings are the motivating case)
-    model = with_solver(world.robot, lcp_solver, contact_cap=4,
-                        pgs_iters=10, escalate_frac=1.0 / 32,
-                        escalate_tol=1e-5, **solver_kw)
-    return HopperTask(model)
+    kw = dict(contact_cap=4, pgs_iters=10, escalate_frac=1.0 / 32,
+              escalate_tol=1e-5)
+    kw.update(solver_kw)           # caller overrides beat the task defaults
+    return HopperTask(with_solver(world.robot, lcp_solver, **kw))
 
 
 class DartHopperEnv(DartEnv, EzPickle):

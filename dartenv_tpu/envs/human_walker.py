@@ -80,9 +80,10 @@ def make_humanwalker_task(dtype=jnp.float32, lcp_solver=None,
     # serial bottleneck: cap the 8 foot-capsule slots at 6, halve the
     # sweep budget under warm-starting, and let hybrid escalation hold
     # the worst-case residual (docs/SOLVERS.md)
-    return HumanWalkerTask(with_solver(
-        world.robot, lcp_solver, contact_cap=6, pgs_iters=15,
-        escalate_frac=1.0 / 32, escalate_tol=1e-5, escalate_iters=20, **solver_kw))
+    kw = dict(contact_cap=6, pgs_iters=15, escalate_frac=1.0 / 32,
+              escalate_tol=1e-5, escalate_iters=20)
+    kw.update(solver_kw)           # caller overrides beat the task defaults
+    return HumanWalkerTask(with_solver(world.robot, lcp_solver, **kw))
 
 
 class DartHumanWalkerEnv(DartEnv, EzPickle):

@@ -67,11 +67,12 @@ def make_walker2d_task(dtype=jnp.float32, lcp_solver=None,
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 6 simultaneously active contact slots for this morphology
     # pgs_iters/escalate: warm-started PGS with exact-solver escalation of
-    # the worst 1/64 of envs per substep (docs/SOLVERS.md residual study)
-    model = with_solver(world.robot, lcp_solver, contact_cap=6,
-                        pgs_iters=8, escalate_frac=1.0 / 32,
-                        escalate_tol=1e-5, **solver_kw)
-    return Walker2dTask(model)
+    # the worst 1/32 of envs per substep (docs/SOLVERS.md residual study;
+    # 1/32 pads to the same 128-lane BPP tile as 1/64 — free coverage)
+    kw = dict(contact_cap=6, pgs_iters=8, escalate_frac=1.0 / 32,
+              escalate_tol=1e-5)
+    kw.update(solver_kw)           # caller overrides beat the task defaults
+    return Walker2dTask(with_solver(world.robot, lcp_solver, **kw))
 
 
 class DartWalker2dEnv(DartEnv, EzPickle):

@@ -67,8 +67,14 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
     big = jnp.asarray(1e20, dtype=dtype)
 
     def bounds(x):
-        """findex-coupled boxes from current normal impulses."""
-        fb = mu * x[fidx] * has_f + big * (1.0 - has_f)
+        """findex-coupled boxes from current normal impulses.
+
+        |x[fidx]|, not x[fidx]: a transiently negative normal impulse must
+        not invert the friction box (lo > hi) — and the Pallas BPP kernel
+        (lcp/pallas_bpp.py) uses the same abs, so the two paths iterate
+        the identical set map and the golden cross-checks stay meaningful
+        (ADVICE.md r3)."""
+        fb = mu * jnp.abs(x[fidx]) * has_f + big * (1.0 - has_f)
         lo_i = jnp.maximum(lo, -fb)
         hi_i = jnp.minimum(hi, fb)
         # inactive rows are pinned to [0, 0]

@@ -191,10 +191,13 @@ def compose_models(models: Sequence[SkelModel],
         mass=_cat([m.mass for m in models]),
         com=_cat([m.com for m in models]),
         inertia=_cat([m.inertia for m in models]),
-        damping=_cat([m.damping for m in models]),
-        spring_stiff=_cat([m.spring_stiff for m in models]),
-        rest_pos=_cat([m.rest_pos for m in models]),
-        dof_friction=_cat([m.dof_friction for m in models]),
+        # every optional per-dof field zero-fills models that leave it None
+        # (the SkelModel default): a plain _cat would silently drop those
+        # segments and misassign dofs across skeletons (ADVICE.md r3)
+        damping=_cat_or_zeros(models, "damping", lambda m: m.n),
+        spring_stiff=_cat_or_zeros(models, "spring_stiff", lambda m: m.n),
+        rest_pos=_cat_or_zeros(models, "rest_pos", lambda m: m.n),
+        dof_friction=_cat_or_zeros(models, "dof_friction", lambda m: m.n),
         servo_flimit=_cat_or_zeros(models, "servo_flimit", lambda m: m.n),
         q_lower=_cat([m.q_lower for m in models]),
         q_upper=_cat([m.q_upper for m in models]),
