@@ -354,8 +354,17 @@ class DartEnv(core.Env):
     @staticmethod
     def _task_from_model_paths(model_paths, frame_skip, observation_size,
                                action_bounds, dt):
-        """Reference-signature construction: parse the asset(s), take the
-        LAST file's robot (reference: `world.skeletons[-1]` †)."""
+        """Reference-signature construction: parse the asset(s) and keep
+        EVERY mobile skeleton — the reference's World::step iterates all
+        skeletons †, and `robot_skeleton = world.skeletons[-1]` † (the last
+        skeleton of the last file).  Multiple skeletons compose into one
+        block-diagonal model (model/compose.py) with cross-skeleton
+        contact pairs, so a ported env that loads
+        `['ground.urdf', 'obstacle.skel', 'robot.skel']` steps the
+        obstacle too (VERDICT.md r3 missing #2)."""
+        import os as _os
+
+        from dartenv_tpu.model.compose import compose_models
         from dartenv_tpu.model.skel_parser import asset_path, parse_skel
         from dartenv_tpu.model.urdf_loader import parse_urdf
 
@@ -367,17 +376,20 @@ class DartEnv(core.Env):
             )
         paths = [model_paths] if isinstance(model_paths, str) else \
             list(model_paths)
-        robot = None
+        models = []
         for p in paths:
-            import os as _os
             full = p if _os.path.exists(p) else asset_path(p)
             if full.endswith(".urdf"):
-                robot = parse_urdf(full)
+                models.append(parse_urdf(full))
             else:
-                robot = parse_skel(full).robot
-        if float(robot.dt) != float(dt):
-            robot = robot.replace(dt=float(dt))
-        return _CustomTask(robot, frame_skip, observation_size,
+                models.extend(parse_skel(full).skeletons)
+        # ctor dt overrides the files' <physics> dt (reference
+        # `pydart.World(dt, path)` †); applied per model so composition's
+        # shared-timestep invariant holds
+        models = [m.replace(dt=float(dt)) if float(m.dt) != float(dt)
+                  else m for m in models]
+        model = compose_models(models) if len(models) > 1 else models[0]
+        return _CustomTask(model, frame_skip, observation_size,
                            action_bounds)
 
     # -- pydart2-style facade (reference: pydart2 World/Skeleton †) -------
@@ -501,6 +513,20 @@ class DartEnv(core.Env):
                                  return_impulses=True))
                 self._do_sim_cache[n_frames] = do
         dtype = self.model.q_init.dtype
+        tau = np.asarray(tau)
+        if tau.shape[0] != self.model.n and self.model.skel_ranges:
+            # composed multi-skeleton world, robot-sized tau (reference:
+            # `robot_skeleton.set_forces(tau)` drives only the robot †):
+            # scatter into the robot's dof span, zeros elsewhere
+            _, _, _, d0, nd = self.model.skel_ranges[-1]
+            if tau.shape[0] != nd:
+                raise error.Error(
+                    f"tau has {tau.shape[0]} dofs; expected the full "
+                    f"world ({self.model.n}) or the robot skeleton ({nd})"
+                )
+            full_tau = np.zeros(self.model.n, dtype=tau.dtype)
+            full_tau[d0:d0 + nd] = tau
+            tau = full_tau
         fext = None
         if self._pending_fext is not None:
             fext = jnp.asarray(self._pending_fext, dtype=dtype)
@@ -523,8 +549,10 @@ class DartEnv(core.Env):
         info = {k: float(v) for k, v in step_info.items()}
         if self.obs_type == "image":
             # reference: image observations come from the offscreen viewer
-            # (`dart_env.py` obs_type='image' †)
-            obs = self._render(mode="rgb_array")
+            # at the ctor's screen size (`dart_env.py` obs_type='image',
+            # screen_width/height †)
+            obs = self._render(mode="rgb_array", width=self.screen_width,
+                               height=self.screen_height)
             return obs, float(reward), bool(done), info
         return (
             np.asarray(obs, dtype=np.float64),
@@ -565,11 +593,14 @@ class DartEnv(core.Env):
             key=jax.random.PRNGKey(0),
             steps=jnp.zeros((), dtype=jnp.int32),
         )
+        if self.obs_type == "image":
+            return self._render(mode="rgb_array", width=self.screen_width,
+                                height=self.screen_height)
         return np.asarray(
             self.task.obs(sim, aux), dtype=np.float64
         )
 
-    def _render(self, mode="human", close=False):
+    def _render(self, mode="human", close=False, width=None, height=None):
         if close:
             if self._viewer is not None:
                 self._viewer = None
@@ -579,11 +610,17 @@ class DartEnv(core.Env):
         # COM-tracked perspective camera (reference: StaticGLUTWindow
         # trackball following track_skeleton_id †); envs may override the
         # view by setting `self.camera = render.Camera(...)` — the
-        # viewer_setup() analogue
+        # viewer_setup() analogue.  width/height default to the renderer's
+        # video resolution; the image-observation path passes the ctor's
+        # screen size instead (reference obs_type='image' †).
+        size = {}
+        if width is not None:
+            size = dict(width=width, height=height)
         frame = render_frame(
             self.model, self._state.sim,
             camera=getattr(self, "camera", None),
             track_body=getattr(self.task, "torso_body", None),
+            **size,
         )
         if mode == "rgb_array":
             return frame

@@ -71,3 +71,26 @@ def test_ground_checkerboard_present():
     has_b = (flat == np.array([175, 175, 175])).all(-1).any()
     assert has_a and has_b, "ground checkerboard missing"
     env.close()
+
+
+def test_image_observation_path():
+    """obs_type='image' (VERDICT.md r3 weak #6, zero coverage before):
+    reset AND step return (screen_height, screen_width, 3) uint8 frames at
+    the ctor's screen size, shape-stable across resets, and the plain
+    rgb_array render keeps its own resolution."""
+    from dartenv_tpu.envs.base import DartEnv
+    from dartenv_tpu.envs.cart_pole import make_cartpole_task
+
+    env = DartEnv(make_cartpole_task(), obs_type="image",
+                  screen_width=80, screen_height=45)
+    obs0 = env.reset()
+    assert obs0.shape == (45, 80, 3) and obs0.dtype == np.uint8
+    obs, reward, done, info = env.step(env.action_space.sample())
+    assert obs.shape == (45, 80, 3) and obs.dtype == np.uint8
+    assert np.isfinite(reward)
+    # shape-stable under reset
+    assert env.reset().shape == (45, 80, 3)
+    # Monitor/video path unaffected: full-resolution frames
+    frame = env.render(mode="rgb_array")
+    assert frame.shape == (240, 320, 3) and frame.dtype == np.uint8
+    env.close()
