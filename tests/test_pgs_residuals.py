@@ -38,9 +38,30 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
     return float(res.max(initial=0.0))
 
 
-@pytest.mark.parametrize("env,torque", [("walker2d", 100.0),
-                                        ("hopper", 200.0)])
-def test_production_pgs_residual_envelope(env, torque):
+# Per-task envelopes (docs/SOLVERS.md study + the round-4 C++-golden
+# adjudication of every production offender > 1e-4):
+#   * walker2d/hopper: escalation holds the exact-solver tail — median
+#     ~1e-7, p95 ~1.5e-6, max ~9e-6; pinned a decade up.
+#   * walker3d/dog: residual tails ~2e-3 are GOLDEN-ADJUDICATED
+#     degenerate — the C++ exact solver returns bad=1 with residual equal
+#     (walker3d 1.9e-3) or 100x WORSE (dog 1.6e-1) on the same problems,
+#     and cold f64 block pivoting + 500 f64 PGS sweeps cannot improve
+#     them: grazing contacts (impulse scale ~3e-3) whose findex friction
+#     fixed point does not exist to tighter tolerance.  Pinned at the
+#     measured ceiling so a REGRESSION (e.g. 10x) still fails loudly.
+#   * humanwalker: offenders ARE solvable in f64 (golden: 1e-14) but not
+#     by f32 block pivoting on the m=47 operator (cold/warm/deeper
+#     budgets all leave 1e-2 tails on 3/6 offenders — measured round 4);
+#     pinned at the observed f32 solver ceiling, recorded as a precision
+#     gap, not physics.
+@pytest.mark.parametrize("env,torque,bounds", [
+    ("walker2d", 100.0, (1e-6, 1e-5, 1e-4)),
+    ("hopper", 200.0, (1e-6, 1e-5, 1e-4)),
+    ("walker3d", 100.0, (1e-5, 1e-4, 5e-3)),
+    ("dog", 60.0, (1e-5, 1e-4, 5e-3)),
+    ("humanwalker", 100.0, (1e-5, 1e-3, 5e-2)),
+])
+def test_production_pgs_residual_envelope(env, torque, bounds):
     """Warm-started production PGS on seeded contact-rich rollouts keeps
     normalized complementarity residuals within the envelope recorded in
     docs/SOLVERS.md (with slack for platform variation)."""
@@ -79,12 +100,12 @@ def test_production_pgs_residual_envelope(env, torque):
 
     assert len(residuals) > 20, "rollout never made contact — test is vacuous"
     r = np.asarray(residuals)
-    # docs/SOLVERS.md r3 envelope: production (warm-started pgs_iters=10 +
-    # hybrid exact-solver escalation) median ~1e-7, p95 ~1e-6, max ~1e-5 on
-    # these rollouts; assert with an order of magnitude of slack.  Tightened
-    # a full decade from round 2 (VERDICT.md r2 order #3) — the escalation
-    # path is what holds the MAX, so it regressing fails this loudly.
-    assert np.median(r) < 1e-4, f"median residual {np.median(r):.2e}"
-    assert np.percentile(r, 95) < 1e-3, \
+    # per-task envelope (see the parametrize table comment): each
+    # percentile bound is binding (ADVICE.md r3: the old p95 < 1e-3 was
+    # dead code behind max < 1e-4).  The escalation path is what holds
+    # the MAX, so it regressing fails this loudly.
+    med_b, p95_b, max_b = bounds
+    assert np.median(r) < med_b, f"median residual {np.median(r):.2e}"
+    assert np.percentile(r, 95) < p95_b, \
         f"p95 residual {np.percentile(r, 95):.2e}"
-    assert r.max() < 1e-4, f"max residual {r.max():.2e}"
+    assert r.max() < max_b, f"max residual {r.max():.2e}"
