@@ -80,21 +80,31 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     """
     layout = build_layout(model)
     dt = model.dt
+    # fused Pallas dynamics phase (dynamics/pallas_dynamics.py): a vmapped
+    # f32 batch on TPU runs the whole phase in one lane-major kernel; the
+    # single-env / CPU / f64 sides of the custom_vmap run the exact
+    # batched.py path below.  None when the model has unsupported joints.
+    from dartenv_tpu.dynamics.pallas_dynamics import make_dynamics_phase
+    dyn_phase = make_dynamics_phase(model, dt)
 
     def step(state: SimState, tau, f_ext_world=None, servo_target=None):
         # named scopes give per-phase attribution in jax.profiler/XProf
         # traces (SURVEY.md §5.1 — the reference has no profiling hooks)
         q, dq = state.q, state.dq
         with jax.named_scope("dynamics"):
-            kin = batched.bkin(model, q, dq)
-            ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt,
-                                              f_ext_world)
-            dq_star = dq + dt * ddq
+            if dyn_phase is not None and f_ext_world is None:
+                dq_star, M, phi, R_w, p_w = dyn_phase(q, dq, tau)
+            else:
+                kin = batched.bkin(model, q, dq)
+                ddq, M = batched.forward_dynamics(model, kin, q, dq, tau,
+                                                  dt, f_ext_world)
+                dq_star = dq + dt * ddq
+                phi, R_w, p_w = kin.phi, kin.R_w, kin.p_w
         with jax.named_scope("collision"):
-            contacts = collide(model, kin.R_w, kin.p_w)
+            contacts = collide(model, R_w, p_w)
         with jax.named_scope("constraints"):
             dq_plus, lam = solve_constraints(
-                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+                model, layout, phi, M, q, dq, dq_star, contacts, dt,
                 lam_prev=state.lam, servo_target=servo_target,
             )
         with jax.named_scope("integrate"):
