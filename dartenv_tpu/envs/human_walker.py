@@ -80,8 +80,15 @@ def make_humanwalker_task(dtype=jnp.float32, lcp_solver=None,
     # serial bottleneck: cap the 8 foot-capsule slots at 6, halve the
     # sweep budget under warm-starting, and let hybrid escalation hold
     # the worst-case residual (docs/SOLVERS.md)
+    # escalation is TWO-TIER (r4, VERDICT r3 order #6 + the golden
+    # adjudication): a warm 8-pivot refinement for the worst 1/32, then a
+    # COLD 24-pivot re-solve of rows still above tol — warm-starting from
+    # a bad PGS point can poison the pivot sequence on the m=47 operator
+    # in ways a cold start escapes.  Measured (docs/SOLVERS.md): residual
+    # max 2.6e-2 (flat-20) -> 1.9e-3 (the f32 solver ceiling) at 46.6k
+    # env-steps/s/chip vs 58.5k flat-20 — quality-first, recorded.
     kw = dict(contact_cap=6, pgs_iters=15, escalate_frac=1.0 / 32,
-              escalate_tol=1e-5, escalate_iters=20)
+              escalate_tol=1e-5, escalate_iters=8, escalate_iters2=24)
     kw.update(solver_kw)           # caller overrides beat the task defaults
     return HumanWalkerTask(with_solver(world.robot, lcp_solver, **kw))
 

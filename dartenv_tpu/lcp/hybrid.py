@@ -79,7 +79,8 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                        escalate_frac: float = 0.0,
                        escalate_tol: float = 1e-6,
                        escalate_iters: int = 8,
-                       escalate_kmax: int = 128):
+                       escalate_kmax: int = 128,
+                       escalate_iters2: int = 0):
     """Boxed-LCP solver for ONE env with batch redirection (like
     lcp.pgs.make_pgs_solver) plus exact-solver escalation when
     escalate_frac > 0.
@@ -97,6 +98,13 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
 
     _exact_solver = make_exact_solver(findex, iters=escalate_iters,
                                       polish_iters=3)
+    # tier-2 (escalate_iters2 > 0): COLD re-solve at a deeper budget for
+    # rows the warm tier-1 refinement could not converge — warm-starting
+    # from a bad PGS point can poison the pivot-set sequence in ways a
+    # cold start escapes (round-4 adjudication, docs/SOLVERS.md)
+    _exact_solver2 = (make_exact_solver(findex, iters=escalate_iters2,
+                                        polish_iters=6)
+                      if escalate_iters2 > 0 else None)
 
     def _exact(A, b, lo, hi, mu, active, lam_ws):
         # polish_iters=3: the block-pivot loop's final clip projects onto
@@ -120,7 +128,20 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
             lam_ex = _exact(A, b, lo, hi, mu, active, lam)
             res_ex = comp_residual(A, b, lam_ex, lo, hi, findex, mu,
                                    active)
-            return jnp.where(res_ex < res, lam_ex, lam)
+            best = jnp.where(res_ex < res, lam_ex, lam)
+            if _exact_solver2 is None:
+                return best
+            res_best = jnp.minimum(res_ex, res)
+
+            def tier2(_):
+                lam_c = _exact_solver2(A, b, lo, hi, mu, active,
+                                       jnp.zeros_like(b))
+                res_c = comp_residual(A, b, lam_c, lo, hi, findex, mu,
+                                      active)
+                return jnp.where(res_c < res_best, lam_c, best)
+
+            return jax.lax.cond(res_best > escalate_tol, tier2,
+                                lambda _: best, None)
 
         return jax.lax.cond(res > escalate_tol, escalate, lambda _: lam,
                             None)
@@ -173,6 +194,16 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
         res_ex = comp_residual(Ak, bk, lam_ex, lok, hik, findex, muk, actk)
         take = (worst > escalate_tol) & (res_ex < worst)
         lam_new = jnp.where(take[:, None], lam_ex, lamk)
+        if _exact_solver2 is not None:
+            # tier 2: cold deep re-solve; keep it only where the kept
+            # tier-1 point still exceeds tol AND the cold point is better
+            res_kept = jnp.where(take, res_ex, worst)
+            lam_c = jax.vmap(_exact_solver2)(Ak, bk, lok, hik, muk, actk,
+                                             jnp.zeros_like(bk))
+            res_c = comp_residual(Ak, bk, lam_c, lok, hik, findex, muk,
+                                  actk)
+            take2 = (res_kept > escalate_tol) & (res_c < res_kept)
+            lam_new = jnp.where(take2[:, None], lam_c, lam_new)
         return lam.at[idx].set(lam_new), True
 
     return solve

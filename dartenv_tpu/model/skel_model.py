@@ -114,6 +114,13 @@ class SolverConfig:
     # cost model is flat in frac for K <= 128 (docs/BENCH.md).
     escalate_kmax: int = dataclasses.field(
         default=128, metadata=dict(static=True))
+    # Two-tier escalation (VERDICT.md r3 order #6): when > 0, rows of the
+    # escalated K batch still above escalate_tol after the warm tier-1
+    # re-solve get a SECOND, COLD re-solve at this pivot budget (the
+    # round-4 adjudication showed a cold start fixes offenders the
+    # warm-from-a-bad-PGS-point pivot sequence cannot).  0 disables.
+    escalate_iters2: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
 
 def _static(default=None):

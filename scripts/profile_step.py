@@ -49,17 +49,28 @@ def main(batch=4096, nsteps=100, env="walker2d"):
     print(f"LCP rows m={layout.m} contacts={layout.contact_slots} "
           f"limits={len(layout.limit_dofs)} fric={len(layout.friction_dofs)}")
 
-    def substep(state, tau, mode):
-        q, dq = state.q, state.dq
+    # production dynamics phase: the fused Pallas kernel on TPU f32
+    # batches (set DARTENV_NO_DYN_KERNEL=1 to attribute the kernel's
+    # contribution by profiling the XLA phase instead)
+    from dartenv_tpu.dynamics.pallas_dynamics import make_dynamics_phase
+    dyn_phase = make_dynamics_phase(model, dt)
+
+    def dynamics(q, dq, tau):
+        if dyn_phase is not None:
+            return dyn_phase(q, dq, tau)
         kin = batched.bkin(model, q, dq)
         ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt, None)
-        dq_star = dq + dt * ddq
+        return dq + dt * ddq, M, kin.phi, kin.R_w, kin.p_w
+
+    def substep(state, tau, mode):
+        q, dq = state.q, state.dq
+        dq_star, M, phi, R_w, p_w = dynamics(q, dq, tau)
         if mode == "fd_only":
             return SimState(q=q, dq=dq_star, time=state.time + dt)
         if mode == "no_constr":
             q_new = integrate_positions(model, q, dq_star, dt)
             return SimState(q=q_new, dq=dq_star, time=state.time + dt)
-        contacts = collide(model, kin.R_w, kin.p_w)
+        contacts = collide(model, R_w, p_w)
         if mode == "no_lcp":
             # assembly + A-build via the PRODUCTION path (assemble_lcp —
             # the large-n models use the Schur inverse, NOT the batched
@@ -68,7 +79,7 @@ def main(batch=4096, nsteps=100, env="walker2d"):
             # solver cost)
             from dartenv_tpu.engine.constraints import assemble_lcp
             A, b, lo, hi, act, mu, fidx, MinvJt, sel = assemble_lcp(
-                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt)
+                model, layout, phi, M, q, dq, dq_star, contacts, dt)
             dq_plus = dq_star + MinvJt @ (0.0 * b + 1e-12 * A[:, 0])
             return SimState(q=integrate_positions(model, q, dq_plus, dt),
                             dq=dq_plus, time=state.time + dt)
@@ -81,7 +92,7 @@ def main(batch=4096, nsteps=100, env="walker2d"):
             from dartenv_tpu.engine import constraints as C
             import jax.numpy as jnp2
             dq_plus, lam = solve_constraints(
-                model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+                model, layout, phi, M, q, dq, dq_star, contacts, dt,
             )
             del lam
             # cheat: use dq_star (assembly still executed via dq_plus dep?)
@@ -94,12 +105,12 @@ def main(batch=4096, nsteps=100, env="walker2d"):
             m2 = model.replace(solver=_dc.replace(model.solver,
                                                   escalate_frac=0.0))
             dq_plus, _ = solve_constraints(
-                m2, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+                m2, layout, phi, M, q, dq, dq_star, contacts, dt,
             )
             return SimState(q=integrate_positions(model, q, dq_plus, dt),
                             dq=dq_plus, time=state.time + dt)
         dq_plus, _ = solve_constraints(
-            model, layout, kin.phi, M, q, dq, dq_star, contacts, dt,
+            model, layout, phi, M, q, dq, dq_star, contacts, dt,
         )
         q_new = integrate_positions(model, q, dq_plus, dt)
         return SimState(q=q_new, dq=dq_plus, time=state.time + dt)

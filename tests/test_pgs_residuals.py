@@ -49,17 +49,17 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
 #     them: grazing contacts (impulse scale ~3e-3) whose findex friction
 #     fixed point does not exist to tighter tolerance.  Pinned at the
 #     measured ceiling so a REGRESSION (e.g. 10x) still fails loudly.
-#   * humanwalker: offenders ARE solvable in f64 (golden: 1e-14) but not
-#     by f32 block pivoting on the m=47 operator (cold/warm/deeper
-#     budgets all leave 1e-2 tails on 3/6 offenders — measured round 4);
-#     pinned at the observed f32 solver ceiling, recorded as a precision
-#     gap, not physics.
+#   * humanwalker: offenders ARE solvable in f64 (golden: 1e-14); the
+#     production TWO-TIER escalation (warm-8 then cold-24 — cold starts
+#     escape pivot sequences a bad PGS warm start poisons) reaches the
+#     f32 precision ceiling of the m=47 operator, max 1.9e-3 measured
+#     (flat-20 left 2.6e-2).  Pinned at that ceiling with ~2.5x slack.
 @pytest.mark.parametrize("env,torque,bounds", [
     ("walker2d", 100.0, (1e-6, 1e-5, 1e-4)),
     ("hopper", 200.0, (1e-6, 1e-5, 1e-4)),
     ("walker3d", 100.0, (1e-5, 1e-4, 5e-3)),
     ("dog", 60.0, (1e-5, 1e-4, 5e-3)),
-    ("humanwalker", 100.0, (1e-5, 1e-3, 5e-2)),
+    ("humanwalker", 100.0, (1e-5, 1e-3, 5e-3)),
 ])
 def test_production_pgs_residual_envelope(env, torque, bounds):
     """Warm-started production PGS on seeded contact-rich rollouts keeps
