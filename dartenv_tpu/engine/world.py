@@ -86,11 +86,28 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     # batched.py path below.  None when the model has unsupported joints.
     from dartenv_tpu.dynamics.pallas_dynamics import make_dynamics_phase
     dyn_phase = make_dynamics_phase(model, dt)
+    # fused FULL-substep kernel (engine/pallas_substep.py): dynamics +
+    # collision + assembly + A-build + PGS in one kernel, escalation and
+    # integration outside; supersedes the phase-wise path on TPU f32
+    # batches for halfspace-contact models.  None when unsupported.
+    from dartenv_tpu.engine.pallas_substep import make_substep_phase
+    sub_phase = make_substep_phase(model)
 
     def step(state: SimState, tau, f_ext_world=None, servo_target=None):
         # named scopes give per-phase attribution in jax.profiler/XProf
         # traces (SURVEY.md §5.1 — the reference has no profiling hooks)
         q, dq = state.q, state.dq
+        if sub_phase is not None and f_ext_world is None \
+                and servo_target is None:
+            with jax.named_scope("substep_fused"):
+                lam_prev = state.lam if state.lam is not None else \
+                    jnp.zeros((layout.m,), dtype=q.dtype)
+                q_new, dq_plus, lam, contacts = sub_phase(
+                    q, dq, lam_prev, tau)
+            out = (contacts, lam) if return_impulses else contacts
+            lam_carry = lam if state.lam is not None else None
+            return SimState(q=q_new, dq=dq_plus, time=state.time + dt,
+                            lam=lam_carry), out
         with jax.named_scope("dynamics"):
             if dyn_phase is not None and f_ext_world is None:
                 dq_star, M, phi, R_w, p_w = dyn_phase(q, dq, tau)

@@ -61,7 +61,10 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
     bd = mu * jnp.abs(jnp.take(x, fidx, axis=-1)) * has_f + big * (1 - has_f)
     lo_e = jnp.maximum(lo, -bd)
     hi_e = jnp.minimum(hi, bd)
-    w = jnp.einsum("...ij,...j->...i", A, x) + b
+    # mul+reduce, not einsum: a default-precision einsum runs bf16 MXU
+    # passes on TPU and the residual then misranks envs by ~1e-2-class
+    # errors (round-4 finding; math/linalg._pmm note)
+    w = jnp.sum(A * x[..., None, :], axis=-1) + b
     scale = jnp.maximum(1.0, jnp.max(jnp.abs(x), axis=-1, keepdims=True))
     eps = 1e-6 * scale + 1e-9
     at_lo = x <= lo_e + eps
