@@ -626,9 +626,15 @@ def _chol_solve_env(A, b, n, eps):
 # ---------------------------------------------------------------------------
 
 def _blk(x, dtype):
-    """Materialize a scalar-or-block value as an (8, 128) block."""
+    """Materialize a scalar-or-block value as an (8, 128) block.
+
+    Constant folding can also leave 0-d jnp arrays (e.g. jnp.maximum of
+    two static floats in a flat-snake contact row) — broadcast those
+    too, or the kernel ref write rejects the () shape."""
     if _st(x):
         return jnp.full((SUB, LANE), x, dtype=dtype)
+    if getattr(x, "ndim", 2) == 0:
+        return jnp.broadcast_to(jnp.asarray(x, dtype), (SUB, LANE))
     return x
 
 

@@ -49,6 +49,35 @@ from dartenv_tpu.model.skel_model import (
 )
 
 _BIG = 1e20
+
+
+def _fgt(a, b):
+    """a > b as a float mask, tolerating fully-static operands (a flat
+    snake's capsule heights constant-fold: depth becomes a Python float
+    even with runtime q)."""
+    if _st(a) and _st(b):
+        return 1.0 if a > b else 0.0
+    return (a > b).astype(jnp.float32)
+
+
+def _fge(a, b):
+    if _st(a) and _st(b):
+        return 1.0 if a >= b else 0.0
+    return (a >= b).astype(jnp.float32)
+
+
+def _flt(a, b):
+    if _st(a) and _st(b):
+        return 1.0 if a < b else 0.0
+    return (a < b).astype(jnp.float32)
+
+
+def _feq(a, b):
+    if _st(a) and _st(b):
+        return 1.0 if a == b else 0.0
+    return (a == b).astype(jnp.float32)
+
+
 _CORNERS8 = [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
              for sz in (-1.0, 1.0)]
 
@@ -160,11 +189,9 @@ def _rank_blocks(scores, strict_first: bool):
         for s2 in range(ns):
             if s2 == s:
                 continue
-            if s2 < s:
-                c = (scores[s2] >= scores[s])
-            else:
-                c = (scores[s2] > scores[s])
-            r = _add(r, c.astype(jnp.float32))
+            c = _fge(scores[s2], scores[s]) if s2 < s \
+                else _fgt(scores[s2], scores[s])
+            r = _add(r, c)
         ranks.append(r)
     return ranks
 
@@ -173,7 +200,7 @@ def _topk_rank_onehot(scores, k):
     """W[r][s] = 1 if slot s has rank r (< k): rank-ordered selection
     (the box-corner top_k order)."""
     ranks = _rank_blocks(scores, True)
-    return [[(ranks[s] == float(r)).astype(jnp.float32)
+    return [[_feq(ranks[s], float(r))
              for s in range(len(scores))] for r in range(k)]
 
 
@@ -182,14 +209,13 @@ def _topk_ordered_onehot(scores, k):
     (top-k then index-sort — the contact compaction semantics)."""
     ns = len(scores)
     ranks = _rank_blocks(scores, True)
-    sel = [(ranks[s] < float(k)).astype(jnp.float32) for s in range(ns)]
+    sel = [_flt(ranks[s], float(k)) for s in range(ns)]
     sel_rank = []
     acc = 0.0
     for s in range(ns):
         sel_rank.append(acc)
         acc = _add(acc, sel[s])
-    W = [[_mul(sel[s], (sel_rank[s] == float(r)).astype(jnp.float32)
-               if not _st(sel_rank[s]) else float(sel_rank[s] == r))
+    W = [[_mul(sel[s], _feq(sel_rank[s], float(r)))
           for s in range(ns)] for r in range(k)]
     return W, sel
 
@@ -256,8 +282,7 @@ def _trace_substep(st: _SubStatic, q, dq, tau, lam_prev):
 
     ns = st.ns
     eps = float(cfg.contact_eps)
-    slot_active = [(slot_depth[s] > eps).astype(jnp.float32)
-                   for s in range(ns)]
+    slot_active = [_fgt(slot_depth[s], eps) for s in range(ns)]
     n_active = 0.0
     for a in slot_active:
         n_active = _add(n_active, a)

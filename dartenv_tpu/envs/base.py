@@ -381,6 +381,10 @@ class DartEnv(core.Env):
             full = p if _os.path.exists(p) else asset_path(p)
             if full.endswith(".urdf"):
                 models.append(parse_urdf(full))
+            elif full.endswith(".sdf"):
+                from dartenv_tpu.model.sdf_loader import parse_sdf
+
+                models.extend(parse_sdf(full).skeletons)
             else:
                 models.extend(parse_skel(full).skeletons)
         # ctor dt overrides the files' <physics> dt (reference

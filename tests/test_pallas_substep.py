@@ -113,6 +113,7 @@ def test_substep_trace_f64_exact():
     """At f64 the trace matches the XLA composition to machine precision
     — the strongest statement that every pipeline stage (compaction
     ranking included) is the same math."""
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         from dartenv_tpu.bench.throughput import make_task
@@ -144,7 +145,9 @@ def test_substep_trace_f64_exact():
                 assert err < 1e-12, f"{name}: {err:.2e}"
             state, _ = step(state, tau)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        # restore the ambient mode (conftest runs the suite in x64
+        # validation mode — forcing False here broke later f64 tests)
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def test_substep_phase_primal_matches_inline():
