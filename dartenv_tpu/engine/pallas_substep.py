@@ -681,6 +681,71 @@ def substep_pallas(model: SkelModel, q, dq, tau, lam_prev,
 # engine integration: custom_vmap substep phase + escalation driver
 # ---------------------------------------------------------------------------
 
+
+def escalate_batch(st: _SubStatic, cfg, outs, dq_plus, lam_full,
+                   exact1, exact2, dtype):
+    """The hybrid exact-escalation driver over the kernel's outputs:
+    top-K by residual, ONE gather of the packed `esc` buffer, operator
+    rebuild, warm tier-1 (+ optional cold tier-2) BPP re-solve, and
+    DELTA-form scatter-add patches (never a second gather — see the
+    packing note in _trace_substep).  Module-level so the TPU-only
+    driver logic is unit-testable on CPU against XLA-built outs
+    (tests/test_pallas_substep.py)."""
+    from dartenv_tpu.lcp.hybrid import comp_residual
+    from dartenv_tpu.math.linalg import chol, chol_solve, inv_psd, \
+        _pmm, _UNROLL_MAX
+
+    n, m_c, ns, cap = st.dyn.n, st.m_c, st.ns, st.cap
+    B = dq_plus.shape[0]
+    res = outs["res"][:, 0]
+    K = min(B, int(cfg.escalate_kmax),
+            max(1, int(np.ceil(B * cfg.escalate_frac))))
+    worst, idx = jax.lax.top_k(res, K)
+    esc_k = jnp.take(outs["esc"], idx, axis=0)
+    tab, _ = _esc_layout(st)
+    cut = lambda name: esc_k[:, tab[name][0]: tab[name][1]]
+    bk, lok, hik = cut("b"), cut("lo"), cut("hi")
+    muk, actk, lamk = cut("mu"), cut("act"), cut("lam_c")
+    sel_k = cut("sel_slots")
+    Mk = cut("M").reshape(K, n, n)
+    Jk = cut("Jc").reshape(K, m_c, n)
+    if n > _UNROLL_MAX:
+        MinvJt_k = _pmm(inv_psd(Mk, eps=1e-10),
+                        jnp.swapaxes(Jk, -1, -2))
+    else:
+        Lk = chol(Mk, eps=1e-10)
+        MinvJt_k = chol_solve(Lk, jnp.swapaxes(Jk, -1, -2))
+    # precision-safe mul+reduce (a default einsum runs bf16 MXU passes)
+    Ak = _pmm(Jk, MinvJt_k) + cfg.cfm * jnp.eye(m_c, dtype=dtype)
+    Ak = (Ak * actk[:, :, None] * actk[:, None, :]
+          + jnp.eye(m_c, dtype=dtype) * (1.0 - actk)[:, None, :])
+    lam_ex = jax.vmap(exact1)(Ak, bk, lok, hik, muk, actk, lamk)
+    res_ex = comp_residual(Ak, bk, lam_ex, lok, hik, st.findex_c,
+                           muk, actk)
+    take = (worst > cfg.escalate_tol) & (res_ex < worst)
+    lam_new = jnp.where(take[:, None], lam_ex, lamk)
+    if exact2 is not None:
+        res_kept = jnp.where(take, res_ex, worst)
+        lam_c2 = jax.vmap(exact2)(Ak, bk, lok, hik, muk, actk,
+                                  jnp.zeros_like(bk))
+        res_c2 = comp_residual(Ak, bk, lam_c2, lok, hik,
+                               st.findex_c, muk, actk)
+        take2 = (res_kept > cfg.escalate_tol) & (res_c2 < res_kept)
+        lam_new = jnp.where(take2[:, None], lam_c2, lam_new)
+        take = take | take2
+    dlam = jnp.where(take[:, None], lam_new - lamk, 0.0)
+    dqp_delta = jnp.sum(MinvJt_k * dlam[:, None, :], axis=-1)
+    Wk = (sel_k[:, :, None]
+          == jnp.arange(ns, dtype=dtype)[None, None, :]).astype(dtype)
+    dlam_con = dlam[:, : 3 * cap].reshape(K, cap, 3)
+    scat = jnp.sum(
+        Wk[:, :, :, None] * dlam_con[:, :, None, :], axis=1
+    ).reshape(K, 3 * ns)
+    lamf_delta = jnp.concatenate([scat, dlam[:, 3 * cap:]], axis=1)
+    return (dq_plus.at[idx].add(dqp_delta),
+            lam_full.at[idx].add(lamf_delta))
+
+
 def make_substep_phase(model: SkelModel, interpret: bool = False):
     """(q, dq, lam_prev, tau) -> (q_new, dq_plus, lam_full, Contacts)
     with TPU batch redirection to the fused substep kernel + the hybrid
@@ -759,69 +824,9 @@ def make_substep_phase(model: SkelModel, interpret: bool = False):
         dq_plus, lam_full = outs["dq_plus"], outs["lam_full"]
 
         if _exact1 is not None:
-            res = outs["res"][:, 0]
-            K = min(B, int(cfg.escalate_kmax),
-                    max(1, int(np.ceil(B * cfg.escalate_frac))))
-            worst, idx = jax.lax.top_k(res, K)
-            # ONE gather of the packed escalation buffer, then slice.
-            # NEVER issue several jnp.take's with identical indices over
-            # identically-shaped pallas outputs here: that duplicate-
-            # gather pattern miscompiled on the tunneled TPU backend
-            # (gather(dq_star) evaluated as gather(dq_plus); round-4
-            # forensics, see _trace_substep's packing note).
-            esc_k = jnp.take(outs["esc"], idx, axis=0)
-            tab, _ = _esc_layout(st)
-            cut = lambda name: esc_k[:, tab[name][0]: tab[name][1]]
-            bk, lok, hik = cut("b"), cut("lo"), cut("hi")
-            muk, actk, lamk = cut("mu"), cut("act"), cut("lam_c")
-            sel_k = cut("sel_slots")
-            Mk = cut("M").reshape(K, n, n)
-            Jk = cut("Jc").reshape(K, m_c, n)
-            # rebuild the escalated envs' operators (the kernel keeps A
-            # VMEM-internal; K is at most one BPP tile)
-            if n > _UNROLL_MAX:
-                MinvJt_k = _pmm(inv_psd(Mk, eps=1e-10),
-                                jnp.swapaxes(Jk, -1, -2))
-            else:
-                Lk = chol(Mk, eps=1e-10)
-                MinvJt_k = chol_solve(Lk, jnp.swapaxes(Jk, -1, -2))
-            # precision-safe mul+reduce: a default-precision einsum runs
-            # bf16 MXU passes on TPU (~1e-2-class operator error measured
-            # on this A rebuild; math/linalg._pmm note)
-            Ak = _pmm(Jk, MinvJt_k)
-            Ak = Ak + cfg.cfm * jnp.eye(m_c, dtype=dtype)
-            # mask inactive rows out of the operator (assemble_lcp)
-            Ak = (Ak * actk[:, :, None] * actk[:, None, :]
-                  + jnp.eye(m_c, dtype=dtype) * (1.0 - actk)[:, None, :])
-            lam_ex = jax.vmap(_exact1)(Ak, bk, lok, hik, muk, actk, lamk)
-            res_ex = comp_residual(Ak, bk, lam_ex, lok, hik, st.findex_c,
-                                   muk, actk)
-            take = (worst > cfg.escalate_tol) & (res_ex < worst)
-            lam_new = jnp.where(take[:, None], lam_ex, lamk)
-            if _exact2 is not None:
-                res_kept = jnp.where(take, res_ex, worst)
-                lam_c2 = jax.vmap(_exact2)(Ak, bk, lok, hik, muk, actk,
-                                           jnp.zeros_like(bk))
-                res_c2 = comp_residual(Ak, bk, lam_c2, lok, hik,
-                                       st.findex_c, muk, actk)
-                take2 = (res_kept > cfg.escalate_tol) & (res_c2 < res_kept)
-                lam_new = jnp.where(take2[:, None], lam_c2, lam_new)
-                take = take | take2
-            # DELTA-form patches: scatter-add the impulse change, so no
-            # second gather of dq_plus / lam_full is needed (see above)
-            dlam = jnp.where(take[:, None], lam_new - lamk, 0.0)
-            dqp_delta = jnp.sum(MinvJt_k * dlam[:, None, :], axis=-1)
-            Wk = (sel_k[:, :, None]
-                  == jnp.arange(ns, dtype=dtype)[None, None, :]).astype(
-                      dtype)                                 # (K, cap, ns)
-            dlam_con = dlam[:, : 3 * cap].reshape(K, cap, 3)
-            scat = jnp.sum(
-                Wk[:, :, :, None] * dlam_con[:, :, None, :], axis=1
-            ).reshape(K, 3 * ns)
-            lamf_delta = jnp.concatenate([scat, dlam[:, 3 * cap:]],
-                                         axis=1)
-            dq_plus = dq_plus.at[idx].add(dqp_delta)
-            lam_full = lam_full.at[idx].add(lamf_delta)
+            dq_plus, lam_full = escalate_batch(
+                st, cfg, outs, dq_plus, lam_full, _exact1, _exact2,
+                dtype)
 
         q_new = jax.vmap(
             lambda qq, dd: batched.integrate_positions(model, qq, dd, dt)
