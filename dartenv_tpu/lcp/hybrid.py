@@ -190,9 +190,18 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
             nres = comp_residual(A, b, lam, lo, hi, findex, mu,
                                  active)  # (B,)
         worst, idx = jax.lax.top_k(nres, K)
-        g = lambda x: jnp.take(x, idx, axis=0)
-        Ak, bk, lok, hik, muk, actk, lamk = map(
-            g, (A, b, lo, hi, mu, active, lam))
+        # the six (B, m)-shaped operands are gathered as ONE packed
+        # concat + slice: several jnp.take's with identical indices over
+        # identically-shaped buffers miscompiled on the tunneled TPU
+        # backend (one gather silently read another operand's buffer —
+        # engine/pallas_substep.py round-4 forensics); A's (B, m, m)
+        # shape is unique so its gather has no twin to be confused with
+        m = b.shape[-1]
+        packed = jnp.concatenate([b, lo, hi, mu, active, lam], axis=1)
+        pk = jnp.take(packed, idx, axis=0)
+        bk, lok, hik, muk, actk, lamk = [
+            pk[:, i * m:(i + 1) * m] for i in range(6)]
+        Ak = jnp.take(A, idx, axis=0)
         lam_ex = jax.vmap(_exact)(Ak, bk, lok, hik, muk, actk, lamk)
         res_ex = comp_residual(Ak, bk, lam_ex, lok, hik, findex, muk, actk)
         take = (worst > escalate_tol) & (res_ex < worst)
