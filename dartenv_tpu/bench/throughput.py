@@ -192,6 +192,8 @@ def main(argv=None):
                    help="override the tier-1 escalation pivot budget")
     p.add_argument("--escalate_iters2", type=int, default=None,
                    help="tier-2 cold re-solve pivot budget (0 disables)")
+    p.add_argument("--escalate_refine", type=int, default=None,
+                   help="tier-1 refinement pivots (-1 = legacy formula)")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -204,6 +206,8 @@ def main(argv=None):
         overrides["escalate_iters"] = args.escalate_iters
     if args.escalate_iters2 is not None:
         overrides["escalate_iters2"] = args.escalate_iters2
+    if args.escalate_refine is not None:
+        overrides["escalate_refine"] = args.escalate_refine
     overrides = overrides or None
 
     if args.all:

@@ -809,8 +809,10 @@ def make_substep_phase(model: SkelModel, interpret: bool = False):
     if cfg.escalate_frac > 0.0 and m_c > 0:
         from dartenv_tpu.lcp.dantzig import make_exact_solver
 
-        _exact1 = make_exact_solver(st.findex_c, iters=cfg.escalate_iters,
-                                    polish_iters=3)
+        _exact1 = make_exact_solver(
+            st.findex_c, iters=cfg.escalate_iters, polish_iters=3,
+            refine_iters=(None if cfg.escalate_refine < 0
+                          else cfg.escalate_refine))
         if cfg.escalate_iters2 > 0:
             _exact2 = make_exact_solver(st.findex_c,
                                         iters=cfg.escalate_iters2,

@@ -79,8 +79,10 @@ def make_hopper_task(dtype=jnp.float32, lcp_solver=None,
     # pgs_iters/escalate: warm-started PGS with exact-solver escalation of
     # the worst 1/32 of envs per substep (docs/SOLVERS.md residual study —
     # hopper's degenerate two-point landings are the motivating case)
+    # escalation budget (r4): 4+2 pivots — study-identical envelope to
+    # the legacy 8+6 on hopper (max 5.9e-6 both; docs/SOLVERS.md)
     kw = dict(contact_cap=4, pgs_iters=10, escalate_frac=1.0 / 32,
-              escalate_tol=1e-5)
+              escalate_tol=1e-5, escalate_iters=4, escalate_refine=2)
     kw.update(solver_kw)           # caller overrides beat the task defaults
     return HopperTask(with_solver(world.robot, lcp_solver, **kw))
 

@@ -65,8 +65,11 @@ def make_walker3d_task(dtype=jnp.float32, lcp_solver=None,
     world = parse_skel(asset_path("walker3d.skel"), dtype=dtype)
     # LCP active-set cap (see SolverConfig.contact_cap): at most
     # 8 simultaneously active contact slots for this morphology
+    # r4 escalation budget: 8+2 pivots — study max 2.3e-3 vs 1.9e-3 at
+    # the legacy 20+6 (both golden-adjudicated degenerate; bound 5e-3),
+    # at ~40% of the BPP serial chain (docs/SOLVERS.md)
     kw = dict(contact_cap=8, pgs_iters=20, escalate_frac=1.0 / 32,
-              escalate_tol=1e-5, escalate_iters=20)
+              escalate_tol=1e-5, escalate_iters=8, escalate_refine=2)
     kw.update(solver_kw)           # caller overrides beat the task defaults
     return Walker3dTask(with_solver(world.robot, lcp_solver, **kw))
 

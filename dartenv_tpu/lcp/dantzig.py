@@ -40,7 +40,8 @@ _AT_HI = 2
 
 
 def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
-                  polish_iters: int = 10, lam0=None):
+                  polish_iters: int = 10, lam0=None,
+                  refine_iters=None):
     """Solve one boxed LCP by block principal pivoting.
 
     A: (m, m) SPD(+cfm); b, lo, hi, mu, active: (m,); findex: static numpy
@@ -142,7 +143,8 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
         x, _, state = carry
         return body(_, (x, x, state))
 
-    x, xb, state = jax.lax.fori_loop(0, max(iters // 3, 6), body_exact,
+    n_refine = max(iters // 3, 6) if refine_iters is None else refine_iters
+    x, xb, state = jax.lax.fori_loop(0, n_refine, body_exact,
                                      (x, x, state))
     # polish: a few PGS sweeps fix any env whose set sequence didn't close
     if polish_iters > 0:
@@ -151,7 +153,8 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
     return x
 
 
-def make_exact_solver(findex, iters: int = 24, polish_iters: int = 10):
+def make_exact_solver(findex, iters: int = 24, polish_iters: int = 10,
+                      refine_iters=None):
     """Exact boxed-LCP solver for ONE env that redirects a vmapped batch
     to the Pallas block-principal-pivoting kernel (lcp/pallas_bpp.py) on
     TPU — the same batch-dispatch pattern as lcp.pgs.make_pgs_solver.
@@ -170,7 +173,7 @@ def make_exact_solver(findex, iters: int = 24, polish_iters: int = 10):
     def solve(A, b, lo, hi, mu, active, lam0):
         return dantzig_solve(A, b, lo, hi, findex, mu, active,
                              iters=iters, polish_iters=polish_iters,
-                             lam0=lam0)
+                             lam0=lam0, refine_iters=refine_iters)
 
     @solve.def_vmap
     def _batched(axis_size, in_batched, *args):
@@ -184,12 +187,13 @@ def make_exact_solver(findex, iters: int = 24, polish_iters: int = 10):
 
             out = bpp_solve_pallas(A, b, lo, hi, findex, mu, active,
                                    iters=iters, polish_iters=polish_iters,
-                                   lam0=lam0)
+                                   lam0=lam0, refine_iters=refine_iters)
         else:
             out = jax.vmap(
                 lambda Ai, bi, loi, hii, mui, acti, l0i: dantzig_solve(
                     Ai, bi, loi, hii, findex, mui, acti, iters=iters,
                     polish_iters=polish_iters, lam0=l0i,
+                    refine_iters=refine_iters,
                 )
             )(A, b, lo, hi, mu, active, lam0)
         return out, True

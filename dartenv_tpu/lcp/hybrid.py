@@ -83,7 +83,8 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                        escalate_tol: float = 1e-6,
                        escalate_iters: int = 8,
                        escalate_kmax: int = 128,
-                       escalate_iters2: int = 0):
+                       escalate_iters2: int = 0,
+                       escalate_refine: int = -1):
     """Boxed-LCP solver for ONE env with batch redirection (like
     lcp.pgs.make_pgs_solver) plus exact-solver escalation when
     escalate_frac > 0.
@@ -99,8 +100,9 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
 
     from dartenv_tpu.lcp.dantzig import make_exact_solver
 
-    _exact_solver = make_exact_solver(findex, iters=escalate_iters,
-                                      polish_iters=3)
+    _exact_solver = make_exact_solver(
+        findex, iters=escalate_iters, polish_iters=3,
+        refine_iters=None if escalate_refine < 0 else escalate_refine)
     # tier-2 (escalate_iters2 > 0): COLD re-solve at a deeper budget for
     # rows the warm tier-1 refinement could not converge — warm-starting
     # from a bad PGS point can poison the pivot-set sequence in ways a

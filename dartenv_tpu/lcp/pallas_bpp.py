@@ -191,7 +191,7 @@ def _bpp_kernel(A_ref, b_ref, lo_ref, hi_ref, mu_ref, act_ref, lam0_ref,
 
 def bpp_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 24,
                      polish_iters: int = 10, lam0=None,
-                     interpret: bool = False):
+                     interpret: bool = False, refine_iters=None):
     """Batched exact boxed-LCP solve.  A: (B, m, m); b/lo/hi/mu/active:
     (B, m); findex static numpy (m,).  Returns lam (B, m).
 
@@ -222,7 +222,9 @@ def bpp_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 24,
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _bpp_kernel, findex=np.asarray(findex), iters=iters,
-        refine=max(iters // 3, 6), polish=polish_iters,
+        refine=(max(iters // 3, 6) if refine_iters is None
+                else refine_iters),
+        polish=polish_iters,
     )
     lam_t = pl.pallas_call(
         kernel,

@@ -114,6 +114,14 @@ class SolverConfig:
     # cost model is flat in frac for K <= 128 (docs/BENCH.md).
     escalate_kmax: int = dataclasses.field(
         default=128, metadata=dict(static=True))
+    # Undamped refinement pivots for the tier-1 escalation re-solve.
+    # -1 = the solver's legacy formula max(iters//3, 6).  The BPP tile is
+    # a SERIAL pivot chain whose wall clock now rivals the whole fused
+    # substep (docs/BENCH.md round 4), and a warm-started refinement
+    # rarely needs the full depth — the committed per-task values are
+    # measured knees (docs/SOLVERS.md).
+    escalate_refine: int = dataclasses.field(
+        default=-1, metadata=dict(static=True))
     # Two-tier escalation (VERDICT.md r3 order #6): when > 0, rows of the
     # escalated K batch still above escalate_tol after the warm tier-1
     # re-solve get a SECOND, COLD re-solve at this pivot budget (the

@@ -42,13 +42,17 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
 # adjudication of every production offender > 1e-4):
 #   * walker2d/hopper: escalation holds the exact-solver tail — median
 #     ~1e-7, p95 ~1.5e-6, max ~9e-6; pinned a decade up.
-#   * walker3d/dog: residual tails ~2e-3 are GOLDEN-ADJUDICATED
-#     degenerate — the C++ exact solver returns bad=1 with residual equal
-#     (walker3d 1.9e-3) or 100x WORSE (dog 1.6e-1) on the same problems,
-#     and cold f64 block pivoting + 500 f64 PGS sweeps cannot improve
-#     them: grazing contacts (impulse scale ~3e-3) whose findex friction
-#     fixed point does not exist to tighter tolerance.  Pinned at the
-#     measured ceiling so a REGRESSION (e.g. 10x) still fails loudly.
+#   * walker3d: residual tail ~2.3e-3 is GOLDEN-ADJUDICATED degenerate —
+#     the C++ exact solver returns bad=1 with the same residual on the
+#     identical problems, and cold f64 block pivoting + 500 f64 PGS
+#     sweeps cannot improve them: grazing contacts (impulse scale ~3e-3)
+#     whose findex friction fixed point does not exist to tighter
+#     tolerance.  Pinned at the measured ceiling so a REGRESSION still
+#     fails loudly.
+#   * dog: the r4 refinement-budget study (escalate_refine=2) removed
+#     its old 1.6e-3 tail entirely — the long undamped refinement was
+#     RE-oscillating the 4-foot friction fixed point.  Measured max
+#     9.9e-6; pinned at the planar envelope.
 #   * humanwalker: offenders ARE solvable in f64 (golden: 1e-14); the
 #     production TWO-TIER escalation (warm-8 then cold-24 — cold starts
 #     escape pivot sequences a bad PGS warm start poisons) reaches the
@@ -58,7 +62,7 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
     ("walker2d", 100.0, (1e-6, 1e-5, 1e-4)),
     ("hopper", 200.0, (1e-6, 1e-5, 1e-4)),
     ("walker3d", 100.0, (1e-5, 1e-4, 5e-3)),
-    ("dog", 60.0, (1e-5, 1e-4, 5e-3)),
+    ("dog", 60.0, (1e-5, 1e-4, 1e-4)),
     ("humanwalker", 100.0, (1e-5, 1e-3, 5e-3)),
 ])
 def test_production_pgs_residual_envelope(env, torque, bounds):
