@@ -94,6 +94,17 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     sub_phase = make_substep_phase(model)
 
     def step(state: SimState, tau, f_ext_world=None, servo_target=None):
+        # every contraction in the physics trace runs at HIGHEST matmul
+        # precision: a default-precision dot_general runs single-pass
+        # bf16 on the TPU MXU, which round 4's forensics measured at
+        # 1e-2-class per-substep error vs CPU-f64 on this very path
+        # (docs/BENCH.md round-4b finding #1; VERDICT r4 order #1).  The
+        # Pallas kernels are unaffected (pure VPU mul/add); for the tiny
+        # matrices here HIGHEST vs mul+reduce is a measured perf wash.
+        with jax.default_matmul_precision("highest"):
+            return _step(state, tau, f_ext_world, servo_target)
+
+    def _step(state: SimState, tau, f_ext_world=None, servo_target=None):
         # named scopes give per-phase attribution in jax.profiler/XProf
         # traces (SURVEY.md §5.1 — the reference has no profiling hooks)
         q, dq = state.q, state.dq
@@ -134,6 +145,48 @@ def make_sim_step(model: SkelModel, return_impulses: bool = False) -> Callable:
     return step
 
 
+def make_dr_sim_step(model: SkelModel, dr_fields,
+                     return_impulses: bool = False) -> Optional[Callable]:
+    """Fused-kernel sim step for a DOMAIN-RANDOMIZED batch
+    (VERDICT r4 order #2: DR must not forfeit the kernels).
+
+    `model` is the CONCRETE base model (defines every static structure);
+    `dr_fields` names the leaves that carry per-env values.  Returns
+    step(state, tau, dr_vals) with dr_vals a tuple of per-env leaves in
+    dr_fields order — vmap it over (state, tau, dr_vals) and the batch
+    lands in the fused substep kernel with the DR leaves as runtime
+    block inputs (engine/pallas_substep.DR_FIELDS_SUB).  Returns None
+    when the kernel cannot serve this model/field set (caller keeps the
+    vmapped XLA path, e.g. parallel/domain_rand.make_randomized_sim_step
+    falls back automatically)."""
+    from dartenv_tpu.engine.pallas_substep import make_substep_phase
+
+    dr_fields = tuple(dr_fields)
+    if any(isinstance(leaf, jax.core.Tracer)
+           for leaf in jax.tree_util.tree_leaves(model)):
+        return None          # base model must be concrete
+    sub_phase = make_substep_phase(model, dr_fields=dr_fields)
+    if sub_phase is None:
+        return None
+    layout = build_layout(model)
+    dt = model.dt
+
+    def step(state: SimState, tau, dr_vals):
+        with jax.default_matmul_precision("highest"):
+            q, dq = state.q, state.dq
+            lam_prev = state.lam if state.lam is not None else \
+                jnp.zeros((layout.m,), dtype=q.dtype)
+            with jax.named_scope("substep_fused_dr"):
+                q_new, dq_plus, lam, contacts = sub_phase(
+                    q, dq, lam_prev, tau, *dr_vals)
+            out = (contacts, lam) if return_impulses else contacts
+            lam_carry = lam if state.lam is not None else None
+            return SimState(q=q_new, dq=dq_plus, time=state.time + dt,
+                            lam=lam_carry), out
+
+    return step
+
+
 def make_lcp_capture(model: SkelModel) -> Callable:
     """Debug/validation hook: (state, tau) -> dict with the exact boxed LCP
     the constraint solver sees this substep (post active-set compaction)
@@ -150,6 +203,10 @@ def make_lcp_capture(model: SkelModel) -> Callable:
     dt = model.dt
 
     def capture(state: SimState, tau):
+        with jax.default_matmul_precision("highest"):
+            return _capture(state, tau)
+
+    def _capture(state: SimState, tau):
         q, dq = state.q, state.dq
         kin = batched.bkin(model, q, dq)
         ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt, None)

@@ -191,6 +191,15 @@ def make_env_step(task: Task):
     lo = jnp.asarray(task.control_bounds[1], dtype=model.q_init.dtype)
 
     def env_step(state: EnvState, action):
+        # HIGHEST matmul precision over the whole env step: the physics
+        # substep sets this itself (engine/world.make_sim_step), but the
+        # obs/reward/done path also runs FK contractions whose default-
+        # precision bf16 MXU passes would perturb termination thresholds
+        # (VERDICT r4 order #1 scope: "any others a grep finds")
+        with jax.default_matmul_precision("highest"):
+            return _env_step(state, action)
+
+    def _env_step(state: EnvState, action):
         a = jnp.clip(action, lo, hi)
         tau = task.action_to_tau(a, state.aux)
         aux, key = state.aux, state.key
@@ -619,7 +628,13 @@ class DartEnv(core.Env):
         # screen size instead (reference obs_type='image' †).
         size = {}
         if width is not None:
-            size = dict(width=width, height=height)
+            size["width"] = width
+            # width alone: keep the renderer's 4:3 default aspect rather
+            # than forwarding height=None into np.empty
+            size["height"] = (height if height is not None
+                              else max(1, round(width * 3 / 4)))
+        elif height is not None:
+            size["height"] = height
         frame = render_frame(
             self.model, self._state.sim,
             camera=getattr(self, "camera", None),

@@ -45,7 +45,7 @@ import numpy as np
 
 from dartenv_tpu.model import skel_model as sm
 from dartenv_tpu.model.builder import ModelBuilder
-from dartenv_tpu.model.skel_parser import ParsedWorld, euler_xyz_to_mat
+from dartenv_tpu.model.skel_parser import ParsedWorld, euler_zyx_to_mat
 
 _JOINT_TYPES = {
     "revolute": sm.REVOLUTE,
@@ -63,12 +63,15 @@ def _floats(text) -> np.ndarray:
 
 
 def _pose(el) -> tuple:
-    """(R, p) of an element's <pose> child (identity if absent)."""
+    """(R, p) of an element's <pose> child (identity if absent).
+
+    SDF rpy is FIXED-AXIS roll-pitch-yaw: R = Rz(yaw) @ Ry(pitch) @ Rx(roll)
+    (the reference SdfParser composes ZYX †) — NOT the .skel XYZ order."""
     p = el.find("pose") if el is not None else None
     if p is None or p.text is None:
         return np.eye(3), np.zeros(3)
     v = _floats(p.text)
-    return euler_xyz_to_mat(v[3], v[4], v[5]), v[:3]
+    return euler_zyx_to_mat(v[3], v[4], v[5]), v[:3]
 
 
 def _t_mul(a, b):
@@ -132,8 +135,11 @@ def parse_sdf(path: str, dtype=jnp.float32) -> ParsedWorld:
 
     for model in world.findall("model"):
         static_el = model.find("static")
+        # an empty <static/> has text=None; sdformat falls back to the
+        # element default (false), so only an explicit true/1 is static
         is_static = (static_el is not None
-                     and static_el.text.strip().lower() in ("true", "1"))
+                     and (static_el.text or "").strip().lower()
+                     in ("true", "1"))
         T_model = _pose(model)
         links = model.findall("link")
         link_T: Dict[str, tuple] = {}

@@ -65,6 +65,18 @@ def euler_xyz_to_mat(r, p, y):
     return Rx @ Ry @ Rz
 
 
+def euler_zyx_to_mat(r, p, y):
+    """Fixed-axis roll-pitch-yaw: R = Rz(yaw) @ Ry(pitch) @ Rx(roll)
+    (SDF <pose> convention; the reference SdfParser composes ZYX †)."""
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp_ = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp_], [0, 1, 0], [-sp_, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
 def _transform(elem) -> tuple:
     """<transformation>x y z r p y</transformation> -> (R, p)."""
     if elem is None:

@@ -109,7 +109,16 @@ def test_substep_trace_humanwalker():
     _run_rollout_check("humanwalker", 100.0, 16, 2e-2)
 
 
-def test_substep_trace_f64_exact():
+@pytest.mark.parametrize("env,n_sub", [
+    ("walker2d", 12),
+    # the hard models (VERDICT r4 order #7): n=29 FREE/EULER/UNIVERSAL
+    # humanoid with BOX feet, and the 21-dof quadruped — the f64
+    # machine-precision equality pins "the f32 bounds are pure rounding,
+    # not different math" for the worst-conditioned shipped topologies
+    ("humanwalker", 6),
+    ("dog", 6),
+])
+def test_substep_trace_f64_exact(env, n_sub):
     """At f64 the trace matches the XLA composition to machine precision
     — the strongest statement that every pipeline stage (compaction
     ranking included) is the same math."""
@@ -118,14 +127,14 @@ def test_substep_trace_f64_exact():
     try:
         from dartenv_tpu.bench.throughput import make_task
 
-        task = make_task("walker2d", dtype=jnp.float64)
+        task = make_task(env, dtype=jnp.float64)
         model = with_solver(task.model, None, escalate_frac=0.0)
         st = _SubStatic(model)
         layout = st.layout
         step = jax.jit(make_sim_step(model))
         state = init_state(model, warm_start=True)
         rng = np.random.default_rng(1)
-        for k in range(12):
+        for k in range(n_sub):
             tau = jnp.asarray(
                 np.concatenate([np.zeros(3),
                                 rng.uniform(-100, 100, model.n - 3)]),

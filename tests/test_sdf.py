@@ -95,6 +95,69 @@ def test_parse_sdf_structure(tmp_path):
     assert float(crate.wg_friction[0]) == 0.9
 
 
+def test_sdf_pose_rotation_is_fixed_axis_zyx(tmp_path):
+    """SDF rpy composes Rz(yaw)@Ry(pitch)@Rx(roll) (fixed-axis RPY, the
+    reference SdfParser order †) — NOT the .skel Rx@Ry@Rz.  A pose with
+    two nonzero angles distinguishes the orders (advisor r4 medium)."""
+    from dartenv_tpu.model.skel_parser import (euler_xyz_to_mat,
+                                               euler_zyx_to_mat)
+
+    roll, yaw = 0.4, 0.3
+    sdf = """<?xml version="1.0" ?>
+<sdf version="1.6">
+  <model name="tilted">
+    <link name="box">
+      <pose>0.1 0.8 -0.2 {r} 0 {y}</pose>
+      <inertial><mass>0.5</mass>
+        <inertia><ixx>0.003</ixx><iyy>0.003</iyy><izz>0.003</izz></inertia>
+      </inertial>
+      <collision name="c">
+        <geometry><box><size>0.2 0.2 0.2</size></box></geometry>
+      </collision>
+    </link>
+  </model>
+</sdf>
+""".format(r=roll, y=yaw)
+    p = tmp_path / "tilted.sdf"
+    p.write_text(sdf)
+    w = parse_sdf(str(p), dtype=jnp.float64)
+    (mdl,) = w.skeletons
+    from dartenv_tpu.math import spatial as sp
+
+    R_expect = euler_zyx_to_mat(roll, 0.0, yaw)
+    R_wrong = euler_xyz_to_mat(roll, 0.0, yaw)
+    # the two compositions genuinely differ for this pose
+    assert np.abs(R_expect - R_wrong).max() > 1e-2
+    R_got = np.asarray(sp.so3_exp(jnp.asarray(np.asarray(mdl.q_init)[:3])))
+    np.testing.assert_allclose(R_got, R_expect, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(mdl.q_init)[3:],
+                               [0.1, 0.8, -0.2], atol=1e-12)
+
+
+def test_sdf_empty_static_element(tmp_path):
+    """An empty <static/> (text=None) must parse without crashing and
+    fall back to the sdformat element default (false)."""
+    sdf = """<?xml version="1.0" ?>
+<sdf version="1.6">
+  <model name="maybe_static">
+    <static/>
+    <link name="box">
+      <inertial><mass>0.5</mass>
+        <inertia><ixx>0.003</ixx><iyy>0.003</iyy><izz>0.003</izz></inertia>
+      </inertial>
+      <collision name="c">
+        <geometry><box><size>0.2 0.2 0.2</size></box></geometry>
+      </collision>
+    </link>
+  </model>
+</sdf>
+"""
+    p = tmp_path / "s.sdf"
+    p.write_text(sdf)
+    w = parse_sdf(str(p), dtype=jnp.float64)
+    assert len(w.skeletons) == 1          # parsed as a MOBILE model
+
+
 def test_sdf_pendulum_swings_and_crate_rests(tmp_path):
     """Physics end-to-end: the pendulum bob swings about the SDF joint
     anchor (0, 1.4, 0... anchor at base+0.4 -> world y=1.4); the free
