@@ -278,6 +278,57 @@ def _crf(v6, f6):
 _SUPPORTED = {WELD, REVOLUTE, PRISMATIC, UNIVERSAL, EULER, BALL,
               TRANSLATIONAL, PLANAR, FREE, SCREW}
 
+# Model leaves the kernel can take as PER-ENV runtime inputs instead of
+# baked Python floats (VERDICT r4 order #2: domain randomization must not
+# forfeit the kernels).  Each listed leaf is pure VALUE data consumed by
+# the scalar-block trace — substituting an (8, 128) block for the float
+# simply disables constant folding on the terms it touches.  Leaves that
+# shape the STATIC structure (topology, joint axes/frames, layout masks)
+# are intentionally absent.
+DR_FIELDS_DYN = ("mass", "com", "inertia", "damping", "spring_stiff",
+                 "rest_pos", "gravity")
+
+# model field -> (st attribute, flattened per-env length fn)
+_DR_SPEC = {
+    "mass": ("mass", lambda st: st.nb),
+    "com": ("com", lambda st: 3 * st.nb),
+    "inertia": ("inertia", lambda st: 9 * st.nb),
+    "damping": ("damping", lambda st: st.n),
+    "spring_stiff": ("spring", lambda st: st.n),
+    "rest_pos": ("rest", lambda st: st.n),
+    "gravity": ("gravity", lambda st: 3),
+}
+
+
+def _apply_dr(st: "_Static", dr: Dict[str, List[Any]]) -> "_Static":
+    """Shallow copy of the static digest with the given leaves replaced
+    by per-env runtime blocks (flattened lists, row-major like the model
+    arrays).  The trace code is value-agnostic: blocks flow through the
+    same `_mul`/`_add` algebra, just without folding."""
+    import copy
+
+    st2 = copy.copy(st)
+    nb = st.nb
+    for f, v in dr.items():
+        if f == "mass":
+            st2.mass = list(v)
+        elif f == "com":
+            st2.com = [[v[b * 3 + k] for k in range(3)] for b in range(nb)]
+        elif f == "inertia":
+            st2.inertia = [[[v[b * 9 + i * 3 + j] for j in range(3)]
+                            for i in range(3)] for b in range(nb)]
+        elif f == "damping":
+            st2.damping = list(v)
+        elif f == "spring_stiff":
+            st2.spring = list(v)
+        elif f == "rest_pos":
+            st2.rest = list(v)
+        elif f == "gravity":
+            st2.gravity = list(v)
+        else:
+            raise KeyError(f"unsupported DR field {f!r}")
+    return st2
+
 
 def supported(model: SkelModel) -> bool:
     return (set(model.joint_type) <= _SUPPORTED
@@ -575,16 +626,18 @@ def _trace_env(st: _Static, dt: float, q, dq, tau):
     rhs = [None] * n
     Mi = [[M[min(i, j)][max(i, j)] for j in range(n)] for i in range(n)]
     for d in range(n):
+        # fold-safe forms (no `!= 0.0` guards): damping/spring may be
+        # per-env BLOCKS under domain randomization; static zeros still
+        # vanish through _mul/_add folding exactly as before
         t_d = _sub(tau[d], C[d])
-        if st.damping[d] != 0.0:
-            t_d = _sub(t_d, _mul(st.damping[d], dq[d]))
-        if st.spring[d] != 0.0:
-            t_d = _sub(t_d, _mul(st.spring[d],
-                                 _add(_sub(q[d], st.rest[d]),
-                                      _mul(dt, dq[d]))))
+        t_d = _sub(t_d, _mul(st.damping[d], dq[d]))
+        t_d = _sub(t_d, _mul(st.spring[d],
+                             _add(_sub(q[d], st.rest[d]),
+                                  _mul(dt, dq[d]))))
         rhs[d] = t_d
         Mi[d][d] = _add(Mi[d][d],
-                        dt * st.damping[d] + dt * dt * st.spring[d])
+                        _add(_mul(dt, st.damping[d]),
+                             _mul(dt * dt, st.spring[d])))
 
     ddq = _chol_solve_env(Mi, rhs, n, eps=1e-10)
     dq_star = [_add(dq[d], _mul(dt, ddq[d])) for d in range(n)]
@@ -638,10 +691,24 @@ def _blk(x, dtype):
     return x
 
 
-def _dyn_kernel(q_ref, dq_ref, tau_ref, dqs_ref, M_ref, phi_ref, Rw_ref,
-                pw_ref, *, st: _Static, dt: float):
+def _read_dr_refs(st, dr_fields, dr_refs):
+    """field -> flat block list, from the extra kernel input refs."""
+    dr = {}
+    for f, ref in zip(dr_fields, dr_refs):
+        k = _DR_SPEC[f][1](st if isinstance(st, _Static) else st.dyn)
+        dr[f] = [ref[0, i] for i in range(k)]
+    return dr
+
+
+def _dyn_kernel(q_ref, dq_ref, tau_ref, *refs, st: _Static, dt: float,
+                dr_fields: Tuple[str, ...] = ()):
     n, nb = st.n, st.nb
     dtype = q_ref.dtype
+    n_dr = len(dr_fields)
+    dr_refs, (dqs_ref, M_ref, phi_ref, Rw_ref, pw_ref) = \
+        refs[:n_dr], refs[n_dr:]
+    if dr_fields:
+        st = _apply_dr(st, _read_dr_refs(st, dr_fields, dr_refs))
     q = [q_ref[0, d] for d in range(n)]
     dq = [dq_ref[0, d] for d in range(n)]
     tau = [tau_ref[0, d] for d in range(n)]
@@ -664,7 +731,8 @@ def _dyn_kernel(q_ref, dq_ref, tau_ref, dqs_ref, M_ref, phi_ref, Rw_ref,
 
 
 def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
-                    st: Optional["_Static"] = None):
+                    st: Optional["_Static"] = None,
+                    dr_fields: Tuple[str, ...] = (), dr_vals=()):
     """Batched fused dynamics phase.  q/dq/tau: (B, n) f32.
 
     Returns (dq_star (B, n), M (B, n, n), phi (B, n, 6),
@@ -674,6 +742,11 @@ def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
     `st` must be prebuilt (outside any trace) when calling from traced
     code: _Static reads the model arrays host-side, which is illegal on
     tracers (make_dynamics_phase builds it at construction time).
+
+    dr_fields / dr_vals: domain-randomized leaves as per-env runtime
+    inputs — dr_vals[i] is a (B,) + leaf.shape array for DR_FIELDS_DYN
+    member dr_fields[i]; each is flattened to (B, k) and fed to the
+    kernel as one more lane-major block input.
     """
     if st is None:
         st = _Static(model)
@@ -692,6 +765,8 @@ def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
             x.reshape(G, SUB, LANE, x.shape[-1]), (0, 3, 1, 2))
 
     qb, dqb, taub = to_blocks(q), to_blocks(dq), to_blocks(tau)
+    drb = [to_blocks(jnp.asarray(v, dtype).reshape(B, -1))
+           for v in dr_vals]
 
     def spec(k):
         return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, 0, 0, 0),
@@ -704,15 +779,16 @@ def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
         jax.ShapeDtypeStruct((G, nb * 9, SUB, LANE), dtype),   # R_w
         jax.ShapeDtypeStruct((G, nb * 3, SUB, LANE), dtype),   # p_w
     ]
-    kernel = functools.partial(_dyn_kernel, st=st, dt=float(model.dt))
+    kernel = functools.partial(_dyn_kernel, st=st, dt=float(model.dt),
+                               dr_fields=tuple(dr_fields))
     dqs, M, phi, Rw, pw = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=[spec(n)] * 3,
+        in_specs=[spec(n)] * 3 + [spec(b.shape[1]) for b in drb],
         out_specs=tuple(spec(s.shape[1]) for s in out_shapes),
         out_shape=tuple(out_shapes),
         interpret=interpret,
-    )(qb, dqb, taub)
+    )(qb, dqb, taub, *drb)
 
     def from_blocks(y, shape):
         flat = jnp.transpose(y, (0, 2, 3, 1)).reshape(Bp, y.shape[1])
@@ -729,12 +805,19 @@ def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
 # engine integration: custom_vmap redirect (pattern of lcp/pallas_pgs)
 # ---------------------------------------------------------------------------
 
-def make_dynamics_phase(model: SkelModel, dt: float):
-    """(q, dq, tau) -> (dq_star, M, phi, R_w, p_w) with TPU batch
-    redirection.  Single-env / CPU / f64 calls run the exact
+def make_dynamics_phase(model: SkelModel, dt: float,
+                        dr_fields: Tuple[str, ...] = (),
+                        interpret: bool = False):
+    """(q, dq, tau, *dr_vals) -> (dq_star, M, phi, R_w, p_w) with TPU
+    batch redirection.  Single-env / CPU / f64 calls run the exact
     dynamics/batched.py path; a vmapped f32 batch on TPU runs the fused
     Pallas kernel.  Returns None for unsupported models (caller keeps the
-    XLA phase)."""
+    XLA phase).
+
+    dr_fields: domain-randomized leaves (subset of DR_FIELDS_DYN) passed
+    as EXPLICIT per-env arguments after tau — `model` must then be the
+    CONCRETE base model; its values for those fields are ignored
+    (VERDICT r4 order #2: DR batches keep the kernel path)."""
     import os
 
     if not supported(model) or os.environ.get("DARTENV_NO_DYN_KERNEL"):
@@ -744,9 +827,14 @@ def make_dynamics_phase(model: SkelModel, dt: float):
         return None
     if any(isinstance(leaf, jax.core.Tracer)
            for leaf in jax.tree_util.tree_leaves(model)):
-        # traced / per-env-batched model (domain randomization passes the
-        # model as a vmapped argument): the kernel bakes model VALUES as
-        # static constants, so it cannot serve this path — keep XLA
+        # traced / per-env-batched model WITHOUT the explicit-dr route
+        # (legacy callers): the kernel bakes model VALUES as static
+        # constants, so it cannot serve this path — keep XLA.  DR callers
+        # go through engine/world.make_dr_sim_step, which passes the
+        # concrete base model plus dr_fields instead.
+        return None
+    dr_fields = tuple(dr_fields)
+    if any(f not in DR_FIELDS_DYN for f in dr_fields):
         return None
 
     from dartenv_tpu.dynamics import batched
@@ -756,25 +844,31 @@ def make_dynamics_phase(model: SkelModel, dt: float):
     # trace (make_sim_step runs at env-construction time)
     st = _Static(model)
 
-    def _xla_single(q, dq, tau):
-        kin = batched.bkin(model, q, dq)
-        ddq, M = batched.forward_dynamics(model, kin, q, dq, tau, dt, None)
+    def _xla_single(q, dq, tau, *dr_vals):
+        m = (model.replace(**dict(zip(dr_fields, dr_vals)))
+             if dr_fields else model)
+        kin = batched.bkin(m, q, dq)
+        ddq, M = batched.forward_dynamics(m, kin, q, dq, tau, dt, None)
         return dq + dt * ddq, M, kin.phi, kin.R_w, kin.p_w
 
     @jax.custom_batching.custom_vmap
-    def dyn(q, dq, tau):
-        return _xla_single(q, dq, tau)
+    def dyn(q, dq, tau, *dr_vals):
+        return _xla_single(q, dq, tau, *dr_vals)
 
     @dyn.def_vmap
-    def _batched_rule(axis_size, in_batched, q, dq, tau):
-        q, dq, tau = [
+    def _batched_rule(axis_size, in_batched, *args):
+        args = [
             a if bat else jnp.broadcast_to(a, (axis_size,) + a.shape)
-            for a, bat in zip((q, dq, tau), in_batched)
+            for a, bat in zip(args, in_batched)
         ]
-        if _on_tpu() and q.dtype == jnp.float32:
-            out = dynamics_pallas(model, q, dq, tau, st=st)
+        q, dq, tau = args[:3]
+        dr_vals = args[3:]
+        if (interpret or _on_tpu()) and q.dtype == jnp.float32:
+            out = dynamics_pallas(model, q, dq, tau, st=st,
+                                  dr_fields=dr_fields, dr_vals=dr_vals,
+                                  interpret=interpret)
         else:
-            out = jax.vmap(_xla_single)(q, dq, tau)
+            out = jax.vmap(_xla_single)(q, dq, tau, *dr_vals)
         return out, (True,) * 5
 
     return dyn

@@ -153,6 +153,90 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
     return x
 
 
+def refine_mixed(A, b, lo, hi, findex, mu, active, x, passes: int = 2):
+    """Mixed-precision iterative refinement of a boxed-LCP point at its
+    own friction-bound fixed sets: f64 RESIDUAL, f32 correction SOLVE.
+
+    The f32 BPP plateau on ill-conditioned operators (humanwalker's
+    m=47: residual ~ kappa * eps_f32 ~ 1e-2-class while the f64 golden
+    reaches 1e-14 — docs/SOLVERS.md "Residual tails, adjudicated") is
+    set by the free-set solve's rounding.  Classic mixed-precision
+    refinement lifts it: compute r = -(b + A x) on the free rows in f64
+    — pure elementwise mul+reduce, which this TPU backend supports
+    cheaply (unlike f64 factorizations: batched f64 cholesky measured
+    ~1000x f32, batched f64 LU miscompiles — docs/SOLVERS.md round 5)
+    — then solve the correction on the SAME f32 masked operator and
+    re-project.  Friction boxes are refreshed from the refined normals
+    each pass.  Requires jax_enable_x64; leading batch axes broadcast.
+    """
+    from dartenv_tpu.lcp.hybrid import comp_residual
+
+    findex = np.asarray(findex)
+    fidx = jnp.asarray(np.maximum(findex, 0))
+    f64 = jnp.float64
+    has_f = jnp.asarray((findex >= 0).astype(np.float64), dtype=f64)
+    dtype = A.dtype
+    A64 = A.astype(f64)
+    b64 = b.astype(f64)
+    lo64, hi64 = lo.astype(f64), hi.astype(f64)
+    mu64 = mu.astype(f64)
+    act64 = active.astype(f64)
+    actb = act64 > 0.5
+    x64 = x.astype(f64)
+    big = jnp.asarray(1e20, f64)
+    eye = jnp.eye(A.shape[-1], dtype=dtype)
+
+    def resid(xx):
+        return comp_residual(A64, b64, xx, lo64, hi64, findex, mu64,
+                             act64)
+
+    # monotone (keep-best) refinement: a wrong free-set partition makes
+    # the correction DIVERGE (measured on humanwalker offenders: 6e-4 ->
+    # 4.1 when the production point's active set is off), so each pass
+    # is accepted per-problem only when the residual actually drops.
+    # Candidates are judged AFTER rounding to the f32 output dtype: the
+    # iterate's f64 residual can beat the input while its f32 rounding
+    # does not (rounding re-injects ~kappa*eps32), and the caller only
+    # ever sees the rounded point.
+    best_x = x64
+    best_r = resid(x64)
+    if dtype != f64:
+        def _round_trip(xx):
+            return xx.astype(dtype).astype(f64)
+    else:
+        def _round_trip(xx):
+            return xx
+    for _ in range(passes):
+        bd = (mu64 * jnp.abs(jnp.take(x64, fidx, axis=-1)) * has_f
+              + big * (1.0 - has_f))
+        lo_e = jnp.maximum(lo64, -bd) * act64
+        hi_e = jnp.minimum(hi64, bd) * act64
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(x64), axis=-1,
+                                         keepdims=True))
+        eps = 1e-6 * scale
+        at_lo = x64 <= lo_e + eps
+        at_hi = x64 >= hi_e - eps
+        free = actb & ~at_lo & ~at_hi
+        fm = free.astype(f64)
+        x_fix = jnp.where(at_hi, hi_e,
+                          jnp.where(at_lo, lo_e, 0.0)) * act64 * (1 - fm)
+        xa = x64 * fm + x_fix
+        # the f64 residual of the free-set linear system (elementwise)
+        r = -(b64 + jnp.sum(A64 * xa[..., None, :], axis=-1)) * fm
+        fm32 = fm.astype(dtype)
+        Am = (A * fm32[..., :, None] * fm32[..., None, :]
+              + eye * (1.0 - fm32)[..., None, :])
+        d = solve_psd(Am, r.astype(dtype), eps=1e-12) * fm32
+        x64 = jnp.clip(xa + d.astype(f64), lo_e, hi_e)
+        cand = _round_trip(x64)
+        r_new = resid(cand)
+        better = r_new < best_r
+        bx = better[..., None] if x64.ndim > better.ndim else better
+        best_x = jnp.where(bx, cand, best_x)
+        best_r = jnp.minimum(r_new, best_r)
+    return best_x.astype(dtype)
+
+
 def make_exact_solver(findex, iters: int = 24, polish_iters: int = 10,
                       refine_iters=None):
     """Exact boxed-LCP solver for ONE env that redirects a vmapped batch

@@ -84,7 +84,8 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                        escalate_iters: int = 8,
                        escalate_kmax: int = 128,
                        escalate_iters2: int = 0,
-                       escalate_refine: int = -1):
+                       escalate_refine: int = -1,
+                       escalate_ref64: int = 0):
     """Boxed-LCP solver for ONE env with batch redirection (like
     lcp.pgs.make_pgs_solver) plus exact-solver escalation when
     escalate_frac > 0.
@@ -110,6 +111,10 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
     _exact_solver2 = (make_exact_solver(findex, iters=escalate_iters2,
                                         polish_iters=6)
                       if escalate_iters2 > 0 else None)
+    # mixed-precision f64-residual refinement of the escalated batch
+    # (lcp/dantzig.refine_mixed); needs x64, silently inert otherwise
+    _ref64 = (int(escalate_ref64)
+              if jax.config.jax_enable_x64 else 0)
 
     def _exact(A, b, lo, hi, mu, active, lam_ws):
         # polish_iters=3: the block-pivot loop's final clip projects onto
@@ -218,6 +223,17 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                                   actk)
             take2 = (res_kept > escalate_tol) & (res_c < res_kept)
             lam_new = jnp.where(take2[:, None], lam_c, lam_new)
+        if _ref64 > 0:
+            from dartenv_tpu.lcp.dantzig import refine_mixed
+
+            res_cur = comp_residual(Ak, bk, lam_new, lok, hik, findex,
+                                    muk, actk)
+            lam_r = refine_mixed(Ak, bk, lok, hik, findex, muk, actk,
+                                 lam_new, passes=_ref64)
+            res_r = comp_residual(Ak, bk, lam_r, lok, hik, findex, muk,
+                                  actk)
+            takeR = (res_cur > escalate_tol) & (res_r < res_cur)
+            lam_new = jnp.where(takeR[:, None], lam_r, lam_new)
         return lam.at[idx].set(lam_new), True
 
     return solve

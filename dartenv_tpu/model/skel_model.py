@@ -129,6 +129,17 @@ class SolverConfig:
     # warm-from-a-bad-PGS-point pivot sequence cannot).  0 disables.
     escalate_iters2: int = dataclasses.field(
         default=0, metadata=dict(static=True))
+    # Mixed-precision refinement passes applied to the escalated K batch
+    # (round 5): f64 RESIDUAL + f32 correction solve at the point's own
+    # friction-bound fixed sets (lcp/dantzig.refine_mixed).  Breaks the
+    # f32 BPP precision ceiling on ill-conditioned operators (humanwalker
+    # m=47: offenders f64-solvable to 1e-14 while f32 plateaus 1e-2-class
+    # — docs/SOLVERS.md "Residual tails, adjudicated") WITHOUT f64
+    # factorizations, which this TPU backend runs ~1000x slow (f64
+    # cholesky) or miscompiles (batched f64 LU).  Requires
+    # jax_enable_x64; silently inert otherwise.  0 disables.
+    escalate_ref64: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
 
 def _static(default=None):
