@@ -67,6 +67,28 @@ SUB, LANE = 8, 128
 TBE = SUB * LANE        # envs per tile
 
 
+def _x64_safe_kernel(kernel, dtype):
+    """Trace `kernel` with x64 disabled when the process has it on.
+
+    With jax_enable_x64, Python float literals inside the trace are
+    weak-f64, so `jnp.where(c, -1.0, 1.0)` / `jnp.clip(x, 0.0, 1e20)`
+    materialize f64 scalars INSIDE the Pallas kernel — Mosaic has no f64
+    and its convert-lowering recurses to a RecursionError.  Production
+    blocks are f32; re-tracing the body under `jax.enable_x64(False)`
+    keeps every literal weak-f32 without touching the direct
+    `_trace_substep` / `_trace_env` f64 validation paths (which never go
+    through pallas_call).  x64 stays available OUTSIDE the kernel for
+    the mixed-precision escalation tier (lcp/dantzig.refine_mixed)."""
+    if not jax.config.jax_enable_x64 or dtype == jnp.float64:
+        return kernel
+
+    def wrapped(*refs):
+        with jax.enable_x64(False):
+            kernel(*refs)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # constant-folding scalar algebra: values are Python floats (static model
 # constants) or (8, 128) jnp blocks (per-env runtime values).  Multiplies
@@ -769,7 +791,7 @@ def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
            for v in dr_vals]
 
     def spec(k):
-        return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, 0, 0, 0),
+        return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
 
     out_shapes = [
@@ -781,6 +803,7 @@ def dynamics_pallas(model: SkelModel, q, dq, tau, interpret: bool = False,
     ]
     kernel = functools.partial(_dyn_kernel, st=st, dt=float(model.dt),
                                dr_fields=tuple(dr_fields))
+    kernel = _x64_safe_kernel(kernel, dtype)
     dqs, M, phi, Rw, pw = pl.pallas_call(
         kernel,
         grid=(G,),

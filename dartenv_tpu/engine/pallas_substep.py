@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from dartenv_tpu.dynamics.pallas_dynamics import (
     DR_FIELDS_DYN, LANE, SUB, TBE, _DR_SPEC, _Static, _add, _apply_dr,
     _blk, _chol_solve_env, _cross, _dot, _m3m, _m3v, _mul, _neg, _npv,
-    _sc, _st, _sub, _trace_env, _vadd, _vsub,
+    _sc, _st, _sub, _trace_env, _vadd, _vsub, _x64_safe_kernel,
     supported as dyn_supported,
 )
 from dartenv_tpu.model.skel_model import (
@@ -746,7 +746,7 @@ def substep_pallas(model: SkelModel, q, dq, tau, lam_prev,
              for v in dr_vals]
 
     def spec(k):
-        return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, 0, 0, 0),
+        return pl.BlockSpec((1, k, SUB, LANE), lambda i: (i, np.int32(0), np.int32(0), np.int32(0)),
                             memory_space=pltpu.VMEM)
 
     sizes = _out_sizes(st)
@@ -758,6 +758,7 @@ def substep_pallas(model: SkelModel, q, dq, tau, lam_prev,
         for f in fields)
     kernel = functools.partial(_substep_kernel, st=st, fields=fields,
                                dr_fields=tuple(dr_fields))
+    kernel = _x64_safe_kernel(kernel, dtype)
     outs = pl.pallas_call(
         kernel,
         grid=(G,),

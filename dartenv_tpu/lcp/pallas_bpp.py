@@ -34,6 +34,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from dartenv_tpu.dynamics.pallas_dynamics import _x64_safe_kernel
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -216,9 +218,9 @@ def bpp_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 24,
     args = [to_lanes(v) for v in (b, lo, hi, mu, active, lam0)]
 
     grid = (Bp // TB,)
-    block3 = pl.BlockSpec((m, m, TB), lambda i: (0, 0, i),
+    block3 = pl.BlockSpec((m, m, TB), lambda i: (np.int32(0), np.int32(0), i),
                           memory_space=pltpu.VMEM)
-    block2 = pl.BlockSpec((m, TB), lambda i: (0, i),
+    block2 = pl.BlockSpec((m, TB), lambda i: (np.int32(0), i),
                           memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _bpp_kernel, findex=np.asarray(findex), iters=iters,
@@ -226,6 +228,7 @@ def bpp_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 24,
                 else refine_iters),
         polish=polish_iters,
     )
+    kernel = _x64_safe_kernel(kernel, dtype)
     lam_t = pl.pallas_call(
         kernel,
         grid=grid,

@@ -19,6 +19,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from dartenv_tpu.dynamics.pallas_dynamics import _x64_safe_kernel
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -101,7 +103,8 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
     pad = Bp - B
 
     diag = jnp.diagonal(A, axis1=-2, axis2=-1)
-    inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+    inv_diag = jnp.where(diag > 1e-12, 1.0 / jnp.maximum(diag, 1e-12),
+                         jnp.zeros((), dtype))
     inv_diag = inv_diag * jnp.asarray(omega, dtype=dtype)  # SOR step scale
 
     def to_lanes(x):
@@ -113,16 +116,17 @@ def pgs_solve_pallas(A, b, lo, hi, findex, mu, active, iters: int = 30,
     args = [to_lanes(v) for v in (b, lo, hi, mu, active, inv_diag, lam0)]
 
     grid = (Bp // TB,)
-    block3 = pl.BlockSpec((m, m, TB), lambda i: (0, 0, i),
+    block3 = pl.BlockSpec((m, m, TB), lambda i: (np.int32(0), np.int32(0), i),
                           memory_space=pltpu.VMEM)
-    block2 = pl.BlockSpec((m, TB), lambda i: (0, i),
+    block2 = pl.BlockSpec((m, TB), lambda i: (np.int32(0), i),
                           memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _pgs_kernel, findex=np.asarray(findex), iters=iters
     )
+    kernel = _x64_safe_kernel(kernel, dtype)
     if return_residual:
-        block_res = pl.BlockSpec((1, TB), lambda i: (0, i),
+        block_res = pl.BlockSpec((1, TB), lambda i: (np.int32(0), i),
                                  memory_space=pltpu.VMEM)
         lam_t, res_t = pl.pallas_call(
             kernel,

@@ -128,3 +128,56 @@ def test_lcp_capture_dots_highest(monkeypatch):
     tau = jnp.zeros((model.n,), jnp.float32)
     jaxpr = jax.make_jaxpr(cap)(state, tau)
     _assert_all_highest(jaxpr.jaxpr, "make_lcp_capture")
+
+
+def test_pallas_kernels_x64_clean():
+    """Under jax_enable_x64 (the mixed-precision escalation tier's mode)
+    the Pallas kernel bodies must stay f64-free: weak-f64 Python literals
+    (`jnp.where(c, -1.0, 1.0)`) inside a kernel make Mosaic's convert
+    lowering recurse to a RecursionError on the chip.  Gate on the traced
+    jaxpr so the leak fails on CPU, not mid-bench (round 5)."""
+    from dartenv_tpu.bench.throughput import make_task
+    from dartenv_tpu.engine.pallas_substep import (
+        _SubStatic, substep_pallas)
+    from dartenv_tpu.dynamics.pallas_dynamics import (
+        _Static, dynamics_pallas)
+
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        task = make_task("walker2d", dtype=jnp.float32)
+        model = task.model
+        st = _SubStatic(model)
+        B = 8
+        z = jnp.zeros((B, model.n), jnp.float32)
+        lam = jnp.zeros((B, 3 * st.ns + (st.m_c - 3 * st.cap)),
+                        jnp.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda *a: substep_pallas(model, *a, st=st, interpret=True)
+        )(z, z, z, lam)
+        assert "f64" not in str(jaxpr), "f64 leaked into substep kernel"
+        dst = _Static(model)
+        jaxpr = jax.make_jaxpr(
+            lambda *a: dynamics_pallas(model, *a, st=dst, interpret=True)
+        )(z, z, z)
+        assert "f64" not in str(jaxpr), "f64 leaked into dynamics kernel"
+
+        from dartenv_tpu.lcp.pallas_bpp import bpp_solve_pallas
+        from dartenv_tpu.lcp.pallas_pgs import pgs_solve_pallas
+
+        m = 6
+        fi = np.full(m, -1, np.int32)
+        Ab = jnp.eye(m, dtype=jnp.float32)[None].repeat(4, 0) * 2.0
+        vb = jnp.zeros((4, m), jnp.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda A, b: bpp_solve_pallas(A, b, b, b + 1.0, fi, b,
+                                          b + 1.0, interpret=True)
+        )(Ab, vb)
+        assert "f64" not in str(jaxpr), "f64 leaked into BPP kernel"
+        jaxpr = jax.make_jaxpr(
+            lambda A, b: pgs_solve_pallas(A, b, b, b + 1.0, fi, b,
+                                          b + 1.0, interpret=True)
+        )(Ab, vb)
+        assert "f64" not in str(jaxpr), "f64 leaked into PGS kernel"
+    finally:
+        jax.config.update("jax_enable_x64", prev)
