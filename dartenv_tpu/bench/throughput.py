@@ -21,6 +21,32 @@ import jax
 import jax.numpy as jnp
 
 
+
+
+def _machine_cache_dir(base: str) -> str:
+    """Compile-cache dir salted with a host-CPU fingerprint.
+
+    The persistent cache stores XLA:CPU AOT code compiled with the BUILD
+    host's vector features; loading it on a host without them raises
+    "machine type ... doesn't match" and can SIGILL mid-test (observed:
+    segfaults in dantzig_solve from a cache written on an
+    avx512-different machine).  Salting the directory per CPU-feature
+    set keeps reuse within a machine and isolation across them."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                fp = "noflags"
+    except OSError:
+        fp = "nocpuinfo"
+    return f"{base}_{fp}"
+
+
 def enable_compile_cache():
     """Persistent compilation cache: the rollout programs are large and the
     dominant bench cost is XLA compilation (minutes on a remotely-compiled
@@ -30,7 +56,8 @@ def enable_compile_cache():
     importers of make_task don't silently redirect the process-wide cache
     (ADVICE.md round 2).
     """
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      _machine_cache_dir("/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_CPU_STEPS_PER_S = 5000.0  # anecdotal estimate, see module docstring
@@ -150,6 +177,80 @@ def bench_env(name: str = "walker2d", batch: int = 4096,
     }
 
 
+def bench_dr(name: str = "walker2d", batch: int = 4096,
+             substeps: int = 400, iters: int = 5,
+             force_xla: bool = False):
+    """Throughput of a DOMAIN-RANDOMIZED batch (VERDICT r4 order #2's
+    measured row): per-env mass/friction/damping leaves, stepped as one
+    jitted lax.scan over `substeps` physics substeps.
+
+    force_xla=True ablates the kernel routing (the r1-r4 behavior, where
+    a traced model leaf forfeited the fused kernels) for the comparison
+    row.  Reported env-steps/s divides substeps by frame_skip so numbers
+    are comparable to bench_env's control-step metric."""
+    import numpy as np
+
+    from dartenv_tpu.engine.world import init_state
+    from dartenv_tpu.parallel.domain_rand import (
+        make_randomized_sim_step, randomize_model,
+    )
+
+    task = make_task(name)
+    model = task.model
+    spec = {"mass": 0.3, "geom_friction": 0.3, "damping": 0.3}
+    bmodel = randomize_model(model, jax.random.PRNGKey(0), spec, batch)
+    if force_xla:
+        # a None from make_dr_sim_step routes to the vmapped phase-wise
+        # XLA fallback (domain_rand imports it from engine.world at call
+        # time, so patch it there)
+        import dartenv_tpu.engine.world as _w
+
+        orig = _w.make_dr_sim_step
+        _w.make_dr_sim_step = lambda *a, **k: None
+        try:
+            vstep = make_randomized_sim_step(model, list(spec))
+        finally:
+            _w.make_dr_sim_step = orig
+    else:
+        vstep = make_randomized_sim_step(model, list(spec))
+
+    state0 = init_state(model, warm_start=task.warm_start)
+    stateB = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state0)
+    rng = np.random.default_rng(0)
+    n = model.n
+    tauB = jnp.asarray(rng.uniform(-1.0, 1.0, (batch, n)),
+                       jnp.float32) * 50.0
+
+    def roll(state):
+        def body(s, _):
+            s2, _ = vstep(bmodel, s, tauB)
+            return s2, ()
+
+        out, _ = jax.lax.scan(body, state, None, length=substeps)
+        return out
+
+    roll_j = jax.jit(roll)
+    t0 = time.perf_counter()
+    out = roll_j(stateB)
+    jax.block_until_ready(out.q)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = roll_j(stateB)
+        jax.block_until_ready(out.q)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    env_steps = batch * substeps / task.frame_skip
+    return {
+        "env": name, "batch": batch, "substeps": substeps,
+        "dr_fields": sorted(spec), "kernel_path": not force_xla,
+        "env_steps_per_s_per_chip": env_steps / best,
+        "compile_s": compile_s, "iter_times_s": times,
+    }
+
+
 # the five BASELINE.md benchmark configs (env, batch); humanwalker's batch
 # is smaller because 29 dofs x frame_skip 15 is ~10x the per-env work
 # (env, batch, horizon): cartpole runs a 1000-step horizon — at ~170M
@@ -194,7 +295,26 @@ def main(argv=None):
                    help="tier-2 cold re-solve pivot budget (0 disables)")
     p.add_argument("--escalate_refine", type=int, default=None,
                    help="tier-1 refinement pivots (-1 = legacy formula)")
+    p.add_argument("--escalate_kmax", type=int, default=None,
+                   help="cap on the escalation batch K")
+    p.add_argument("--escalate_ref64", type=int, default=None,
+                   help="mixed-precision f64-residual refinement passes "
+                        "for the escalated K batch (enables x64)")
+    p.add_argument("--escalate_ref", type=int, default=None,
+                   help="compensated double-float refinement passes "
+                        "(production tier; no x64 needed)")
+    p.add_argument("--dr", action="store_true",
+                   help="bench a domain-randomized batch (per-env "
+                        "mass/friction/damping) at the substep level")
+    p.add_argument("--dr_xla", action="store_true",
+                   help="with --dr: ablate the kernel routing (the "
+                        "pre-r5 fallback path) for comparison")
     args = p.parse_args(argv)
+
+    if args.escalate_ref64 is not None:
+        # f64 arrays must exist for lcp/dantzig.refine_mixed; the kernels
+        # stay f32 (pallas_dynamics._x64_safe_kernel)
+        jax.config.update("jax_enable_x64", True)
 
     enable_compile_cache()
     overrides = {}
@@ -208,7 +328,30 @@ def main(argv=None):
         overrides["escalate_iters2"] = args.escalate_iters2
     if args.escalate_refine is not None:
         overrides["escalate_refine"] = args.escalate_refine
+    if args.escalate_kmax is not None:
+        overrides["escalate_kmax"] = args.escalate_kmax
+    if args.escalate_ref64 is not None:
+        overrides["escalate_ref64"] = args.escalate_ref64
+    if args.escalate_ref is not None:
+        overrides["escalate_ref"] = args.escalate_ref
     overrides = overrides or None
+
+    if args.dr:
+        r = bench_dr(args.env, args.batch, iters=args.iters,
+                     force_xla=args.dr_xla)
+        per_chip = r["env_steps_per_s_per_chip"]
+        line = {
+            "metric": f"env-steps/s/chip (DR Dart"
+                      f"{args.env.capitalize()}, B={args.batch}, "
+                      f"{'kernel' if r['kernel_path'] else 'xla'})",
+            "value": round(per_chip, 1),
+            "unit": "env-steps/s/chip",
+            "vs_baseline": round(per_chip / REFERENCE_CPU_STEPS_PER_S, 2),
+        }
+        if args.verbose:
+            print(json.dumps(r, indent=2))
+        print(json.dumps(line))
+        return line
 
     if args.all:
         lines = []

@@ -323,7 +323,8 @@ def run_lcp_solver(cfg, findex, A, b, lo, hi, mu, active, lam0):
                                     escalate_kmax=cfg.escalate_kmax,
                                     escalate_iters2=cfg.escalate_iters2,
                                     escalate_refine=cfg.escalate_refine,
-                                    escalate_ref64=cfg.escalate_ref64)
+                                    escalate_ref64=cfg.escalate_ref64,
+                                    escalate_ref=cfg.escalate_ref)
     else:
         solver = make_pgs_solver(findex, iters=cfg.pgs_iters,
                                  omega=cfg.pgs_omega)

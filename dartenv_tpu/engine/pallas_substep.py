@@ -785,6 +785,7 @@ def substep_pallas(model: SkelModel, q, dq, tau, lam_prev,
 
 def escalate_batch(st: _SubStatic, cfg, outs, dq_plus, lam_full,
                    exact1, exact2, dtype, ref64_passes: int = 0,
+                   refc_passes: int = 0,
                    with_diag: bool = False):
     """The hybrid exact-escalation driver over the kernel's outputs:
     top-K by residual, ONE gather of the packed `esc` buffer, operator
@@ -837,14 +838,17 @@ def escalate_batch(st: _SubStatic, cfg, outs, dq_plus, lam_full,
         take2 = (res_kept > cfg.escalate_tol) & (res_c2 < res_kept)
         lam_new = jnp.where(take2[:, None], lam_c2, lam_new)
         take = take | take2
-    if ref64_passes > 0:
-        from dartenv_tpu.lcp.dantzig import refine_mixed
+    if ref64_passes > 0 or refc_passes > 0:
+        from dartenv_tpu.lcp.dantzig import (
+            refine_compensated, refine_mixed)
 
+        rf, rp = ((refine_mixed, ref64_passes) if ref64_passes > 0
+                  else (refine_compensated, refc_passes))
         res_cur = jnp.where(
             take, comp_residual(Ak, bk, lam_new, lok, hik, st.findex_c,
                                 muk, actk), worst)
-        lam_ref = refine_mixed(Ak, bk, lok, hik, st.findex_c, muk, actk,
-                               lam_new, passes=ref64_passes)
+        lam_ref = rf(Ak, bk, lok, hik, st.findex_c, muk, actk,
+                     lam_new, passes=rp)
         res_ref = comp_residual(Ak, bk, lam_ref, lok, hik, st.findex_c,
                                 muk, actk)
         takeR = (res_cur > cfg.escalate_tol) & (res_ref < res_cur)
@@ -955,6 +959,9 @@ def make_substep_phase(model: SkelModel, interpret: bool = False,
     # env/bench setup); silently inert when x64 is off
     _ref64 = (int(cfg.escalate_ref64)
               if jax.config.jax_enable_x64 else 0)
+    # compensated double-float tier: no x64 needed (production default);
+    # ref64 wins when both are configured and x64 is on
+    _refc = 0 if _ref64 > 0 else int(cfg.escalate_ref)
     if cfg.escalate_frac > 0.0 and m_c > 0:
         from dartenv_tpu.lcp.dantzig import make_exact_solver
 
@@ -995,7 +1002,7 @@ def make_substep_phase(model: SkelModel, interpret: bool = False,
         if _exact1 is not None:
             dq_plus, lam_full = escalate_batch(
                 st, cfg, outs, dq_plus, lam_full, _exact1, _exact2,
-                dtype, ref64_passes=_ref64)
+                dtype, ref64_passes=_ref64, refc_passes=_refc)
 
         q_new = jax.vmap(
             lambda qq, dd: batched.integrate_positions(model, qq, dd, dt)

@@ -80,15 +80,26 @@ def make_humanwalker_task(dtype=jnp.float32, lcp_solver=None,
     # serial bottleneck: cap the 8 foot-capsule slots at 6, halve the
     # sweep budget under warm-starting, and let hybrid escalation hold
     # the worst-case residual (docs/SOLVERS.md)
-    # escalation is TWO-TIER (r4, VERDICT r3 order #6 + the golden
-    # adjudication): a warm 8-pivot refinement for the worst 1/32, then a
-    # COLD 24-pivot re-solve of rows still above tol — warm-starting from
-    # a bad PGS point can poison the pivot sequence on the m=47 operator
-    # in ways a cold start escapes.  Measured (docs/SOLVERS.md): residual
-    # max 2.6e-2 (flat-20) -> 1.9e-3 (the f32 solver ceiling) at 46.6k
-    # env-steps/s/chip vs 58.5k flat-20 — quality-first, recorded.
-    kw = dict(contact_cap=6, pgs_iters=15, escalate_frac=1.0 / 32,
-              escalate_tol=1e-5, escalate_iters=8, escalate_iters2=24)
+    # escalation (r5, VERDICT r4 order #3): a warm 16-pivot tier-1 for
+    # the worst 1/32 plus TWO compensated double-float refinement passes
+    # (lcp/dantzig.refine_compensated).  The r4 two-tier cold re-solve
+    # (escalate_iters2=24, a SERIAL 24-pivot BPP chain) is retired: the
+    # CPU sweep (docs/SOLVERS.md round 5) shows warm-16 + refinement
+    # STRICTLY BEATS it on the pinned single-env envelope (p95 2.2e-5 ->
+    # 1.2e-5, max 1.9e-3 -> 1.5e-3; warm-8 + refinement alone leaves p95
+    # at 3.9e-3 — the cold tier's real job was fixing wrong PGS
+    # partitions, which a deeper warm pivot budget also does), and the
+    # refinement reaches past the f32 ceiling the cold solve plateaued
+    # at (captured offenders 6e-4 -> 6e-7).  escalate_frac=1/8 FILLS the
+    # 128-lane BPP tile at the committed B=1024 (K = 1024/8 = 128): the
+    # escalation's cost is flat in K up to one tile, so 4x the coverage
+    # of the old 1/32 is free and cuts the B=1024 steady-state batch
+    # residual envelope 7-20x (p95 0.124 -> 0.018, p99 0.73 -> 0.037 —
+    # scripts/residual_envelope.py).  Throughput measured on the live
+    # chip (docs/SOLVERS.md round 5): 80.8k (r4 two-tier) -> 128.8k
+    # env-steps/s/chip at this config.
+    kw = dict(contact_cap=6, pgs_iters=15, escalate_frac=1.0 / 8,
+              escalate_tol=1e-5, escalate_iters=16, escalate_ref=2)
     kw.update(solver_kw)           # caller overrides beat the task defaults
     return HumanWalkerTask(with_solver(world.robot, lcp_solver, **kw))
 

@@ -153,6 +153,146 @@ def dantzig_solve(A, b, lo, hi, findex, mu, active, iters: int = 24,
     return x
 
 
+# ---------------------------------------------------------------------------
+# double-float (compensated f32) residual refinement
+# ---------------------------------------------------------------------------
+
+_SPLIT_F32 = 4097.0        # 2^12 + 1: Dekker split, 24-bit mantissa
+_SPLIT_F64 = 134217729.0   # 2^27 + 1: Dekker split, 53-bit mantissa
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly (s = fl(a+b))."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _two_prod(a, b):
+    """Dekker two-prod: p + e == a * b exactly (p = fl(a*b)).
+
+    No FMA primitive is exposed through XLA, so the error term comes
+    from Dekker mantissa splitting; all six ops are IEEE-rounded VPU
+    elementwise ops on TPU, which the identity requires.  The split
+    constant is mantissa-width-dependent (the CPU f64 validation mode
+    routes the same production tier)."""
+    split = _SPLIT_F64 if a.dtype == jnp.float64 else _SPLIT_F32
+    p = a * b
+    ca = split * a
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = split * b
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _comp_matvec_add(A, x, b):
+    """fl2(b + A @ x): compensated row sums, f32 in / f32 out.
+
+    Each product enters as an exact (p, e) pair and the running sum
+    carries a Neumaier correction, so the returned value is the true
+    real-arithmetic result of the F32 INPUTS rounded once — the same
+    quantity refine_mixed gets from casting those inputs to f64
+    (double-float carries ~2^-48 vs f64's 2^-52; both are far below
+    the ~1e-7 the correction solve needs).  The j-loop is a static
+    unroll (m <= ~50, arrays are the escalated (K, m) batch — this
+    runs once per substep outside the kernels)."""
+    m = A.shape[-1]
+    s = jnp.broadcast_to(b, A.shape[:-1]).astype(A.dtype)
+    c = jnp.zeros_like(s)
+    for j in range(m):
+        p, pe = _two_prod(A[..., :, j], x[..., j][..., None])
+        s, se = _two_sum(s, p)
+        c = c + (se + pe)
+    return s + c
+
+
+def comp_residual_ff(A, b, x, lo, hi, findex, mu, active):
+    """hybrid.comp_residual with the w = A x + b contraction computed in
+    compensated f32 (see _comp_matvec_add) — the residual IS a
+    catastrophic cancellation, so the naive f32 sum floors at
+    ~eps32 * ||A|| ||x|| and misjudges refined points below ~1e-6."""
+    findex = np.asarray(findex)
+    fidx = jnp.asarray(np.maximum(findex, 0))
+    has_f = jnp.asarray((findex >= 0).astype(np.float32), dtype=x.dtype)
+    big = jnp.asarray(1e20, dtype=x.dtype)
+    bd = mu * jnp.abs(jnp.take(x, fidx, axis=-1)) * has_f \
+        + big * (1 - has_f)
+    lo_e = jnp.maximum(lo, -bd)
+    hi_e = jnp.minimum(hi, bd)
+    w = _comp_matvec_add(A, x, b)
+    scale = jnp.maximum(1.0, jnp.max(jnp.abs(x), axis=-1, keepdims=True))
+    eps = 1e-6 * scale + 1e-9
+    at_lo = x <= lo_e + eps
+    at_hi = x >= hi_e - eps
+    pinned = at_lo & at_hi
+    res = jnp.where(pinned, 0.0,
+                    jnp.where(at_lo, -w,
+                              jnp.where(at_hi, w, jnp.abs(w))))
+    res = jnp.maximum(res, jnp.maximum(lo_e - x, x - hi_e))
+    res = jnp.where(active > 0.5, res, 0.0)
+    return jnp.max(res / scale, axis=-1)
+
+
+def refine_compensated(A, b, lo, hi, findex, mu, active, x,
+                       passes: int = 2):
+    """refine_mixed without the x64 requirement: the f32 BPP plateau on
+    ill-conditioned operators is set by the residual's cancellation, and
+    a double-float residual recovers it in PLAIN f32 mode — so this is
+    the production default (SolverConfig.escalate_ref), usable by every
+    f32 caller, while refine_mixed remains the x64 cross-check.
+
+    Same structure: free-set partition at x's own friction-bound fixed
+    sets, compensated residual of the free-set linear system, f32
+    correction solve on the masked operator, monotone keep-best
+    acceptance judged by the compensated residual (a wrong partition
+    diverges; it must never worsen the point)."""
+    from dartenv_tpu.math.linalg import solve_psd
+
+    findex_np = np.asarray(findex)
+    fidx = jnp.asarray(np.maximum(findex_np, 0))
+    dtype = A.dtype
+    has_f = jnp.asarray((findex_np >= 0).astype(np.float32), dtype=dtype)
+    big = jnp.asarray(1e20, dtype)
+    eye = jnp.eye(A.shape[-1], dtype=dtype)
+    actb = active > 0.5
+
+    def resid(xx):
+        return comp_residual_ff(A, b, xx, lo, hi, findex_np, mu, active)
+
+    best_x = x
+    best_r = resid(x)
+    for _ in range(passes):
+        bd = (mu * jnp.abs(jnp.take(x, fidx, axis=-1)) * has_f
+              + big * (1.0 - has_f))
+        lo_e = jnp.maximum(lo, -bd) * active
+        hi_e = jnp.minimum(hi, bd) * active
+        scale = jnp.maximum(1.0, jnp.max(jnp.abs(x), axis=-1,
+                                         keepdims=True))
+        eps = 1e-6 * scale
+        at_lo = x <= lo_e + eps
+        at_hi = x >= hi_e - eps
+        free = actb & ~at_lo & ~at_hi
+        fm = free.astype(dtype)
+        x_fix = jnp.where(at_hi, hi_e,
+                          jnp.where(at_lo, lo_e, 0.0)) * active * (1 - fm)
+        xa = x * fm + x_fix
+        r = -_comp_matvec_add(A, xa, b) * fm
+        Am = (A * fm[..., :, None] * fm[..., None, :]
+              + eye * (1.0 - fm)[..., None, :])
+        d = solve_psd(Am, r, eps=1e-12) * fm
+        x = jnp.clip(xa + d, lo_e, hi_e)
+        r_new = resid(x)
+        better = r_new < best_r
+        bx = better[..., None] if x.ndim > better.ndim else better
+        best_x = jnp.where(bx, x, best_x)
+        best_r = jnp.minimum(r_new, best_r)
+    return best_x
+
+
 def refine_mixed(A, b, lo, hi, findex, mu, active, x, passes: int = 2):
     """Mixed-precision iterative refinement of a boxed-LCP point at its
     own friction-bound fixed sets: f64 RESIDUAL, f32 correction SOLVE.

@@ -85,7 +85,8 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                        escalate_kmax: int = 128,
                        escalate_iters2: int = 0,
                        escalate_refine: int = -1,
-                       escalate_ref64: int = 0):
+                       escalate_ref64: int = 0,
+                       escalate_ref: int = 0):
     """Boxed-LCP solver for ONE env with batch redirection (like
     lcp.pgs.make_pgs_solver) plus exact-solver escalation when
     escalate_frac > 0.
@@ -115,6 +116,10 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
     # (lcp/dantzig.refine_mixed); needs x64, silently inert otherwise
     _ref64 = (int(escalate_ref64)
               if jax.config.jax_enable_x64 else 0)
+    # compensated double-float fallback tier: same refinement, no x64
+    # requirement (lcp/dantzig.refine_compensated); ref64 wins when both
+    # are available (the studies' cross-check mode)
+    _refc = 0 if _ref64 > 0 else int(escalate_ref)
 
     def _exact(A, b, lo, hi, mu, active, lam_ws):
         # polish_iters=3: the block-pivot loop's final clip projects onto
@@ -223,13 +228,16 @@ def make_hybrid_solver(findex, iters: int, omega: float = 1.0,
                                   actk)
             take2 = (res_kept > escalate_tol) & (res_c < res_kept)
             lam_new = jnp.where(take2[:, None], lam_c, lam_new)
-        if _ref64 > 0:
-            from dartenv_tpu.lcp.dantzig import refine_mixed
+        if _ref64 > 0 or _refc > 0:
+            from dartenv_tpu.lcp.dantzig import (
+                refine_compensated, refine_mixed)
 
+            rf, rp = ((refine_mixed, _ref64) if _ref64 > 0
+                      else (refine_compensated, _refc))
             res_cur = comp_residual(Ak, bk, lam_new, lok, hik, findex,
                                     muk, actk)
-            lam_r = refine_mixed(Ak, bk, lok, hik, findex, muk, actk,
-                                 lam_new, passes=_ref64)
+            lam_r = rf(Ak, bk, lok, hik, findex, muk, actk,
+                       lam_new, passes=rp)
             res_r = comp_residual(Ak, bk, lam_r, lok, hik, findex, muk,
                                   actk)
             takeR = (res_cur > escalate_tol) & (res_r < res_cur)

@@ -140,6 +140,16 @@ class SolverConfig:
     # jax_enable_x64; silently inert otherwise.  0 disables.
     escalate_ref64: int = dataclasses.field(
         default=0, metadata=dict(static=True))
+    # Compensated (double-float) refinement passes for the escalated K
+    # batch (round 5): the SAME mixed-precision refinement as
+    # escalate_ref64, with the residual computed by Dekker/Knuth
+    # double-float f32 arithmetic (lcp/dantzig.refine_compensated) —
+    # agrees with the f64-of-f32-inputs residual to ~2^-48 and needs NO
+    # jax_enable_x64, so it is the production default tier.  When both
+    # are set and x64 is on, ref64 wins (the studies' cross-check mode).
+    # 0 disables.
+    escalate_ref: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
 
 def _static(default=None):

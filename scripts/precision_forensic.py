@@ -47,7 +47,8 @@ _ARGS = _parser.parse_args()
 if _ARGS.cpu:
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from dartenv_tpu.bench.throughput import _machine_cache_dir
+jax.config.update("jax_compilation_cache_dir", _machine_cache_dir("/tmp/jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp  # noqa: E402

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 # ablation programs are compile-heavy on a remotely-compiled chip; cache
 # them persistently (same cache the bench harness uses)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from dartenv_tpu.bench.throughput import _machine_cache_dir
+jax.config.update("jax_compilation_cache_dir", _machine_cache_dir("/tmp/jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from dartenv_tpu.dynamics import batched

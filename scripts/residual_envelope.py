@@ -35,13 +35,26 @@ _p.add_argument("--seed", type=int, default=0)
 _p.add_argument("--cpu", action="store_true")
 _p.add_argument("--ref64", type=int, default=-1,
                 help=">=0: override escalate_ref64 (enables x64)")
+_p.add_argument("--ref", type=int, default=-1,
+                help=">=0: override escalate_ref (compensated, no x64)")
+_p.add_argument("--warmup", type=int, default=100,
+                help="substeps of synchronized-impact transient reported separately")
+_p.add_argument("--kmax", type=int, default=0,
+                help=">0: override escalate_kmax")
+_p.add_argument("--iters2", type=int, default=-1,
+                help=">=0: override escalate_iters2 (0 disables tier 2)")
+_p.add_argument("--pgs_iters", type=int, default=0,
+                help=">0: override pgs_iters")
+_p.add_argument("--frac", type=float, default=0.0,
+                help=">0: override escalate_frac")
 _ARGS = _p.parse_args()
 
 if _ARGS.cpu:
     jax.config.update("jax_platforms", "cpu")
 if _ARGS.ref64 >= 0:
     jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from dartenv_tpu.bench.throughput import _machine_cache_dir
+jax.config.update("jax_compilation_cache_dir", _machine_cache_dir("/tmp/jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp  # noqa: E402
@@ -61,12 +74,23 @@ def main():
     model = task.model
     if _ARGS.ref64 >= 0:
         model = with_solver(model, None, escalate_ref64=_ARGS.ref64)
+    if _ARGS.ref >= 0:
+        model = with_solver(model, None, escalate_ref=_ARGS.ref)
+    if _ARGS.kmax > 0:
+        model = with_solver(model, None, escalate_kmax=_ARGS.kmax)
+    if _ARGS.iters2 >= 0:
+        model = with_solver(model, None, escalate_iters2=_ARGS.iters2)
+    if _ARGS.pgs_iters > 0:
+        model = with_solver(model, None, pgs_iters=_ARGS.pgs_iters)
+    if _ARGS.frac > 0:
+        model = with_solver(model, None, escalate_frac=_ARGS.frac)
     cfg = model.solver
     assert cfg.escalate_frac > 0.0, "escalation disabled for this task"
     st = _SubStatic(model)
     dt = float(model.dt)
     ref64 = (int(cfg.escalate_ref64)
              if jax.config.jax_enable_x64 else 0)
+    refc = 0 if ref64 > 0 else int(cfg.escalate_ref)
 
     exact1 = make_exact_solver(
         st.findex_c, iters=cfg.escalate_iters, polish_iters=3,
@@ -88,6 +112,7 @@ def main():
         dqp, lamf, diag = escalate_batch(
             st, cfg, outs, outs["dq_plus"], outs["lam_full"],
             exact1, exact2, jnp.float32, ref64_passes=ref64,
+            refc_passes=refc,
             with_diag=True)
         qn = jax.vmap(
             lambda qq, dd: batched.integrate_positions(model, qq, dd, dt)
@@ -114,17 +139,29 @@ def main():
         q, dq, lam, p = sub_diag(q, dq, lam, tau)
         rows.append(np.asarray(p))
     rows = np.stack(rows)          # (T, 5)
-    agg = {f"p{v:g}": float(x) for v, x in
-           zip([50, 95, 99, 99.9, 100], rows.max(axis=0))}
-    agg_med = {f"p{v:g}_med": float(x) for v, x in
-               zip([50, 95, 99, 99.9, 100], np.median(rows, axis=0))}
+
+    # The first ~100 substeps are a SYNCHRONIZED-IMPACT transient: every
+    # env starts at q_init +- 0.005 so initial ground impacts land on the
+    # same few substeps and the count of high-residual envs can exceed
+    # the escalation capacity K at exactly those substeps.  Production
+    # training desynchronizes within an episode (randomized resets), so
+    # report the transient window and the steady state separately.
+    warm = min(_ARGS.warmup, T // 2)
+
+    def agg_window(w):
+        mx = {f"p{v:g}": float(x) for v, x in
+              zip([50, 95, 99, 99.9, 100], w.max(axis=0))}
+        med = {f"p{v:g}_med": float(x) for v, x in
+               zip([50, 95, 99, 99.9, 100], np.median(w, axis=0))}
+        return dict(worst_over_substeps=mx, median_over_substeps=med)
+
     print(json.dumps(dict(env=env, batch=B, substeps=T,
                           kmax=int(cfg.escalate_kmax),
                           frac=float(cfg.escalate_frac),
                           ref64=ref64,
                           backend=jax.default_backend(),
-                          worst_over_substeps=agg,
-                          median_over_substeps=agg_med)))
+                          transient=agg_window(rows[:warm]),
+                          steady=agg_window(rows[warm:]))))
 
 
 if __name__ == "__main__":

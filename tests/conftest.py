@@ -27,7 +27,34 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compile cache: the env step graphs are large (humanoid ~29
 # dofs x 15 substeps) and dominate test wall-clock on recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+
+
+def _machine_cache_dir(base: str) -> str:
+    """Compile-cache dir salted with a host-CPU fingerprint.
+
+    The persistent cache stores XLA:CPU AOT code compiled with the BUILD
+    host's vector features; loading it on a host without them raises
+    "machine type ... doesn't match" and can SIGILL mid-test (observed:
+    segfaults in dantzig_solve from a cache written on an
+    avx512-different machine).  Salting the directory per CPU-feature
+    set keeps reuse within a machine and isolation across them."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                fp = "noflags"
+    except OSError:
+        fp = "nocpuinfo"
+    return f"{base}_{fp}"
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  _machine_cache_dir("/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 

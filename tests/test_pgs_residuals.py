@@ -54,16 +54,19 @@ def comp_residual(A, b, x, lo, hi, findex, mu, active):
 #     RE-oscillating the 4-foot friction fixed point.  Measured max
 #     9.9e-6; pinned at the planar envelope.
 #   * humanwalker: offenders ARE solvable in f64 (golden: 1e-14); the
-#     production TWO-TIER escalation (warm-8 then cold-24 — cold starts
-#     escape pivot sequences a bad PGS warm start poisons) reaches the
-#     f32 precision ceiling of the m=47 operator, max 1.9e-3 measured
-#     (flat-20 left 2.6e-2).  Pinned at that ceiling with ~2.5x slack.
+#     r5 production escalation (warm-16 tier-1 + 2 compensated
+#     double-float refinement passes, lcp/dantzig.refine_compensated)
+#     beats the r4 two-tier on every percentile: med 1.1e-6, p95
+#     1.2e-5, max 1.5e-3 measured (two-tier was 2.2e-5 / 1.9e-3;
+#     flat-20 left 2.6e-2).  The max is wrong-partition substeps the
+#     keep-best refinement rejects rather than worsens.  Pinned with
+#     ~8x slack on p95, ~3x on max.
 @pytest.mark.parametrize("env,torque,bounds", [
     ("walker2d", 100.0, (1e-6, 1e-5, 1e-4)),
     ("hopper", 200.0, (1e-6, 1e-5, 1e-4)),
     ("walker3d", 100.0, (1e-5, 1e-4, 5e-3)),
     ("dog", 60.0, (1e-5, 1e-4, 1e-4)),
-    ("humanwalker", 100.0, (1e-5, 1e-3, 5e-3)),
+    ("humanwalker", 100.0, (1e-5, 1e-4, 5e-3)),
 ])
 def test_production_pgs_residual_envelope(env, torque, bounds):
     """Warm-started production PGS on seeded contact-rich rollouts keeps

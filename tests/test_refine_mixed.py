@@ -155,3 +155,57 @@ def test_hybrid_solver_ref64_tier_improves_envelope():
     assert sel.any(), r0
     # at least one problem lifted hard and none regressed
     assert (r2[sel] / r0[sel]).min() < 0.2, (r0, r2)
+
+
+def test_refine_compensated_matches_mixed_lift():
+    """The x64-free production tier (refine_compensated, double-float
+    residual in plain f32) must deliver refine_mixed's properties:
+    monotone keep-best, and the same plateau lift on the same problems
+    — the compensated w = A x + b agrees with the f64 of the f32
+    inputs to ~2^-48, so the two tiers should accept the same
+    corrections."""
+    from dartenv_tpu.lcp.dantzig import refine_compensated
+
+    rng = np.random.default_rng(0)
+    lifted = 0
+    best_lift = 0.0
+    for trial in range(14):
+        A, b, lo, hi, findex, mu, act = _make_lcp(rng)
+        f32 = lambda v: jnp.asarray(np.asarray(v), jnp.float32)
+        x32 = dantzig_solve(f32(A), f32(b), f32(lo), f32(hi), findex,
+                            f32(mu), f32(act), iters=24, polish_iters=6)
+        r32 = _r64(A, b, x32, lo, hi, findex, mu, act)
+        xr = refine_compensated(f32(A), f32(b), f32(lo), f32(hi),
+                                findex, f32(mu), f32(act), x32,
+                                passes=3)
+        rr = _r64(A, b, xr, lo, hi, findex, mu, act)
+        assert rr <= max(r32 * 1.05, r32 + 1e-6), (trial, r32, rr)
+        if rr < 0.8 * r32:
+            lifted += 1
+            best_lift = max(best_lift, r32 / max(rr, 1e-30))
+    assert lifted >= 6, lifted
+    assert best_lift >= 10.0, best_lift
+
+
+def test_comp_matvec_add_beats_naive_f32():
+    """The double-float contraction recovers the f64-of-f32-inputs
+    value through a catastrophic cancellation where the naive f32 sum
+    floors at ~eps32 * ||terms||."""
+    from dartenv_tpu.lcp.dantzig import _comp_matvec_add
+
+    rng = np.random.default_rng(1)
+    K, m = 8, 24
+    Q = rng.normal(size=(K, m, m))
+    ev = 10.0 ** rng.uniform(-5, 2, (K, m))
+    A = jnp.asarray(np.einsum("kij,kj,klj->kil", Q, ev, Q), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(K, m)), jnp.float32)
+    b = jnp.asarray(
+        -np.einsum("kij,kj->ki", np.asarray(A, np.float64),
+                   np.asarray(x, np.float64)), jnp.float32)
+    w64 = np.einsum("kij,kj->ki", np.asarray(A, np.float64),
+                    np.asarray(x, np.float64)) + np.asarray(b, np.float64)
+    w_ff = np.asarray(jax.jit(_comp_matvec_add)(A, x, b), np.float64)
+    w_naive = np.asarray(jnp.sum(A * x[:, None, :], axis=-1) + b,
+                         np.float64)
+    assert np.abs(w_ff - w64).max() < 1e-9
+    assert np.abs(w_naive - w64).max() > 1e-6  # the gap being closed
