@@ -25,37 +25,16 @@ jax.config.update("jax_platforms", "cpu")
 # physics in f64; TPU production mode is f32 and has its own tolerance tests.
 jax.config.update("jax_enable_x64", True)
 
-# persistent compile cache: the env step graphs are large (humanoid ~29
-# dofs x 15 substeps) and dominate test wall-clock on recompiles
-
-
-def _machine_cache_dir(base: str) -> str:
-    """Compile-cache dir salted with a host-CPU fingerprint.
-
-    The persistent cache stores XLA:CPU AOT code compiled with the BUILD
-    host's vector features; loading it on a host without them raises
-    "machine type ... doesn't match" and can SIGILL mid-test (observed:
-    segfaults in dantzig_solve from a cache written on an
-    avx512-different machine).  Salting the directory per CPU-feature
-    set keeps reuse within a machine and isolation across them."""
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    fp = hashlib.md5(line.encode()).hexdigest()[:10]
-                    break
-            else:
-                fp = "noflags"
-    except OSError:
-        fp = "nocpuinfo"
-    return f"{base}_{fp}"
-
-
-jax.config.update("jax_compilation_cache_dir",
-                  _machine_cache_dir("/tmp/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compilation cache for the suite: this sandbox's XLA:CPU
+# executables can be AOT-compiled by a remote compile service with the
+# build host's vector features, and DESERIALIZING such an artifact on a
+# host without them SIGILLs mid-test (observed twice in dantzig_solve,
+# the second time from a cache freshly written this session — the crash
+# is in compilation_cache.get_executable_and_time).  A single pytest
+# process reuses in-memory compilations; the persistent cache only
+# amortizes cross-process re-runs and is not worth the crash class.
+# The bench/profiling scripts keep their cache (TPU executables run on
+# the chip, not the host CPU).
 
 
 def pytest_terminal_summary(terminalreporter, exitstatus, config):

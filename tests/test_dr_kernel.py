@@ -145,3 +145,17 @@ def test_randomized_wrapper_matches_forced_fallback(monkeypatch):
                                rtol=1e-3, atol=1e-4)
     # randomization spread is real
     assert float(jnp.std(bs_n.q[:, 1])) > 1e-6
+
+
+def test_bench_dr_smoke_both_paths():
+    """bench.py --dr's harness runs on CPU for both routings and the
+    two paths step the same physics (the throughput row's kernel/xla
+    comparison is apples-to-apples)."""
+    from dartenv_tpu.bench.throughput import bench_dr
+
+    r_k = bench_dr("hopper", batch=8, substeps=4, iters=1)
+    r_x = bench_dr("hopper", batch=8, substeps=4, iters=1,
+                   force_xla=True)
+    assert r_k["kernel_path"] and not r_x["kernel_path"]
+    assert r_k["env_steps_per_s_per_chip"] > 0
+    assert r_x["env_steps_per_s_per_chip"] > 0
