@@ -10,6 +10,14 @@ import os
 # force CPU: the session may point JAX_PLATFORMS at a tunneled TPU ("axon"),
 # which would make every tiny test op a network round-trip
 os.environ["JAX_PLATFORMS"] = "cpu"
+# ... and disable any REMOTE-COMPILE interception for the CPU suite: a
+# remote compile service returns XLA:CPU AOT code built with the SERVICE
+# host's vector features, which can SIGILL/segfault when loaded here
+# (three in-suite crashes bisected to exactly this: cache-read
+# deserialization twice, backend_compile_and_load once, all in the same
+# compile-heavy test that passes standalone).  Local compilation is
+# correct by construction for the local machine.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
