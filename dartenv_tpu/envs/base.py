@@ -298,6 +298,12 @@ class _CustomTask(Task):
         return jnp.asarray(False)
 
 
+# Sentinel cached in `_viewer` once opening a window failed (headless host)
+# or the user closed it — keeps `render('human')` a cheap no-op afterwards
+# instead of retrying Tk on every frame.
+_HEADLESS = object()
+
+
 class DartEnv(core.Env):
     """Single-env gym 0.9.x-compatible shim over a Task.
 
@@ -616,6 +622,8 @@ class DartEnv(core.Env):
     def _render(self, mode="human", close=False, width=None, height=None):
         if close:
             if self._viewer is not None:
+                if self._viewer is not _HEADLESS:
+                    self._viewer.close()
                 self._viewer = None
             return
         from dartenv_tpu.envs.render import render_frame
@@ -635,12 +643,49 @@ class DartEnv(core.Env):
                               else max(1, round(width * 3 / 4)))
         elif height is not None:
             size["height"] = height
+        if mode == "human":
+            # reference human mode: a trackball GLUT window stepped once
+            # per frame (`StaticGLUTWindow.runSingleStep()` †).  Here: a
+            # stdlib-Tk window over the same rasterizer (envs/viewer.py);
+            # on a headless host it degrades to a recorded no-op, matching
+            # `disableViewer=True` semantics.
+            viewer = self._get_viewer()
+            if viewer is None:
+                return None
+            frame = render_frame(
+                self.model, self._state.sim, camera=viewer.camera,
+                track_body=getattr(self.task, "torso_body", None),
+                **size,
+            )
+            viewer.imshow(frame)
+            if not viewer.is_open:
+                self._viewer = _HEADLESS
+            return None
         frame = render_frame(
             self.model, self._state.sim,
             camera=getattr(self, "camera", None),
             track_body=getattr(self.task, "torso_body", None),
             **size,
         )
-        if mode == "rgb_array":
-            return frame
-        return None
+        return frame
+
+    def _get_viewer(self):
+        """Lazily open the interactive window (None while headless/closed).
+
+        Reference: `DartEnv._get_viewer()` caching a `StaticGLUTWindow` †.
+        `render(close=True)` resets the cache so a new window can open.
+        """
+        if self._viewer is _HEADLESS:
+            return None
+        if self._viewer is None:
+            from dartenv_tpu.envs import viewer as _viewer_mod
+
+            v = _viewer_mod.create_viewer(
+                640, 480,
+                camera=getattr(self, "camera", None),
+                title=type(self).__name__,
+            )
+            self._viewer = v if v is not None else _HEADLESS
+            if v is None:
+                return None
+        return self._viewer

@@ -128,6 +128,41 @@ def render_frame(model: SkelModel, sim_state, width: int = 320,
         img[hit & checker] = _CHECK_A
         img[hit & ~checker] = _CHECK_B
 
+    # ---- geom-less models: stick-figure fallback -------------------------
+    # Some tasks are authored without shapes (cartpole/reacher-class pure
+    # dynamics — collision never runs, inertia is explicit in the .skel).
+    # The reference still DRAWS them (its .skel visualization shapes feed
+    # the GL scene renderer †); parity here is a viewer-only stick figure:
+    # a sphere per body + a link capsule along each tree edge.
+    if model.ng == 0:
+        def disk(center, r_m):
+            u, v, z = project(center[None])
+            rp = f * r_m / z[0]
+            return (xx - u[0]) ** 2 + (yy - v[0]) ** 2 <= rp * rp
+
+        def segment(a, b, r_m):
+            u, v, z = project(np.stack([a, b]))
+            rp = f * r_m / z.mean()
+            dx, dy = u[1] - u[0], v[1] - v[0]
+            den = max(dx * dx + dy * dy, 1e-9)
+            t = np.clip(((xx - u[0]) * dx + (yy - v[0]) * dy) / den, 0, 1)
+            return ((xx - (u[0] + t * dx)) ** 2
+                    + (yy - (v[0] + t * dy)) ** 2) <= rp * rp
+        for b in range(model.nb):
+            pb = int(model.parent[b])
+            if pb >= 0:
+                img[segment(p_w[pb], p_w[b], 0.03)] = _COLORS[
+                    pb % len(_COLORS)]
+            # extend the last link through the body COM so a single
+            # offset-COM child (cartpole's pole) reads as a rod
+            com_w = p_w[b] + R_w[b] @ np.asarray(model.com[b],
+                                                 dtype=np.float64)
+            if np.linalg.norm(com_w - p_w[b]) > 1e-6:
+                img[segment(p_w[b], p_w[b] + 2.0 * (com_w - p_w[b]),
+                            0.03)] = _COLORS[b % len(_COLORS)]
+            img[disk(p_w[b], 0.05)] = _COLORS[b % len(_COLORS)]
+        return img
+
     # ---- geoms, painter's order (far first) ------------------------------
     ng = model.ng
     order = []

@@ -94,3 +94,17 @@ def test_image_observation_path():
     frame = env.render(mode="rgb_array")
     assert frame.shape == (240, 320, 3) and frame.dtype == np.uint8
     env.close()
+
+
+@pytest.mark.parametrize("env_id", [
+    "DartCartPole-v1", "DartReacher-v1"])
+def test_geomless_stick_figure(env_id):
+    """Pure-dynamics tasks have no shapes; the reference still draws them
+    (its .skel visualization shapes feed the GL scene †) — parity is the
+    renderer's stick-figure fallback, which must show the robot."""
+    env = gym.make(env_id).unwrapped
+    env.reset()
+    frame = env.render(mode="rgb_array")
+    nonbg = ~np.all(frame == _SKY, -1)
+    assert nonbg.sum() > 50, f"{env_id}: stick figure not visible"
+    env.close()

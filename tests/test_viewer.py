@@ -1,0 +1,107 @@
+"""Interactive human-mode viewer (VERDICT.md r4 missing #2): trackball
+controller math, PPM frame encoding, and the env plumbing — all headless
+(the Tk shell itself only opens when a display exists)."""
+import numpy as np
+import pytest
+
+import dartenv_tpu as gym
+from dartenv_tpu.envs import base as base_mod
+from dartenv_tpu.envs.render import Camera
+from dartenv_tpu.envs.viewer import (
+    TrackballController, create_viewer, frame_to_ppm,
+)
+
+
+def test_ppm_encoding_roundtrip():
+    frame = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = frame_to_ppm(frame)
+    header, _, payload = blob.partition(b"\n")
+    assert header == b"P6 3 2 255"
+    assert payload == frame.tobytes()
+    with pytest.raises(ValueError):
+        frame_to_ppm(np.zeros((2, 3), dtype=np.uint8))
+
+
+def test_trackball_orbit_zoom_reset():
+    cam = Camera(azimuth=10.0, elevation=-12.0, distance=4.0)
+    tb = TrackballController(cam)
+    tb.orbit(25.0, -50.0)            # drag right + up
+    assert cam.azimuth == pytest.approx(10.0 + 25.0 * 0.4)
+    assert cam.elevation == pytest.approx(-12.0 + 50.0 * 0.4)
+    tb.orbit(0.0, 1e6)               # elevation clips, azimuth wraps
+    assert cam.elevation == -89.0
+    tb.orbit(360.0 / 0.4, 0.0)
+    assert 0.0 <= cam.azimuth < 360.0
+    tb.zoom(1e9)
+    assert cam.distance == 100.0     # clipped
+    tb.zoom(1e-12)
+    assert cam.distance == 0.2
+    assert cam.track
+    tb.toggle_track()
+    assert not cam.track
+    tb.reset()
+    assert cam.azimuth == 10.0 and cam.elevation == -12.0
+    assert cam.distance == 4.0 and cam.track
+
+
+def test_headless_human_render_is_noop(monkeypatch):
+    """Without a display, render('human') logs once, caches the headless
+    sentinel, and keeps rgb_array fully functional."""
+    monkeypatch.delenv("DISPLAY", raising=False)
+    env = gym.make("DartCartPole-v1").unwrapped
+    env.reset()
+    assert env.render(mode="human") is None
+    assert env._viewer is base_mod._HEADLESS
+    assert env.render(mode="human") is None          # cached no-op
+    frame = env.render(mode="rgb_array")
+    assert frame.shape == (240, 320, 3)
+    env.render(close=True)                           # resets the cache
+    assert env._viewer is None
+    env.close()
+
+
+class _FakeViewer:
+    def __init__(self, camera):
+        self.camera = camera if camera is not None else Camera()
+        self.is_open = True
+        self.frames = []
+
+    def imshow(self, frame):
+        self.frames.append(frame)
+
+    def close(self):
+        self.is_open = False
+
+
+def test_human_mode_drives_viewer(monkeypatch):
+    """With a (fake) display the human path renders through the VIEWER's
+    camera each frame — the runSingleStep() analogue."""
+    holder = {}
+
+    def fake_create(width, height, camera=None, title=""):
+        holder["v"] = _FakeViewer(camera)
+        return holder["v"]
+
+    import dartenv_tpu.envs.viewer as viewer_mod
+    monkeypatch.setattr(viewer_mod, "create_viewer", fake_create)
+    env = gym.make("DartCartPole-v1").unwrapped
+    env.reset()
+    env.render(mode="human")
+    env.step(env.action_space.sample())
+    env.render(mode="human")
+    v = holder["v"]
+    assert len(v.frames) == 2
+    assert v.frames[0].shape[2] == 3
+    # a user drag between frames changes the next rendered viewpoint
+    v.camera.azimuth += 90.0
+    env.render(mode="human")
+    assert len(v.frames) == 3
+    assert not np.array_equal(v.frames[1], v.frames[2])
+    env.render(close=True)
+    assert not v.is_open and env._viewer is None
+    env.close()
+
+
+def test_create_viewer_headless_returns_none(monkeypatch):
+    monkeypatch.delenv("DISPLAY", raising=False)
+    assert create_viewer(64, 48) is None
