@@ -238,3 +238,48 @@ def create_viewer(width: int, height: int, camera: Camera | None = None,
         return InteractiveViewer(width, height, camera=camera, title=title)
     except RuntimeError:
         return None
+
+
+def launch(world, max_steps: int | None = None, render_every: int = 1,
+           width: int = 640, height: int = 480) -> bool:
+    """Step a world in an interactive window until it is closed.
+
+    pydart2-parity surface (`pydart2.gui.viewer.launch(world)` † — the
+    porting-era "watch the sim" entry point): accepts a
+    `facade.WorldFacade` (steps one PHYSICS substep per frame through
+    `world.step()`, like the reference GLUT idle callback) or a `DartEnv`
+    (steps one zero-torque CONTROL step per frame).  Returns False
+    immediately on a display-less host, True after the window closes or
+    `max_steps` frames.
+    """
+    from dartenv_tpu.envs.render import render_frame
+
+    env = getattr(world, "_env", world)
+    env = getattr(env, "unwrapped", env)
+    if env._state is None:
+        env.reset()
+    viewer = create_viewer(
+        width, height, camera=getattr(env, "camera", None),
+        title=type(env).__name__)
+    if viewer is None:
+        return False
+    zero_tau = None
+    if not hasattr(world, "_env"):      # bare env: zero-action control steps
+        import numpy as _np
+
+        zero_tau = _np.zeros(env.action_space.shape)
+    i = 0
+    while viewer.is_open and (max_steps is None or i < max_steps):
+        if zero_tau is None:
+            world.step()                # facade: one physics substep
+        else:
+            env.step(zero_tau)
+        if i % render_every == 0:
+            frame = render_frame(
+                env.model, env._state.sim, width=width, height=height,
+                camera=viewer.camera,
+                track_body=getattr(env.task, "torso_body", None))
+            viewer.imshow(frame)
+        i += 1
+    viewer.close()
+    return True

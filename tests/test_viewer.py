@@ -93,7 +93,9 @@ def test_human_mode_drives_viewer(monkeypatch):
     assert len(v.frames) == 2
     assert v.frames[0].shape[2] == 3
     # a user drag between frames changes the next rendered viewpoint
-    v.camera.azimuth += 90.0
+    # (zoom, not azimuth: a near-vertical stick figure is azimuth-
+    # invariant, but the projected radius always scales with distance)
+    v.camera.distance *= 0.5
     env.render(mode="human")
     assert len(v.frames) == 3
     assert not np.array_equal(v.frames[1], v.frames[2])
@@ -105,3 +107,57 @@ def test_human_mode_drives_viewer(monkeypatch):
 def test_create_viewer_headless_returns_none(monkeypatch):
     monkeypatch.delenv("DISPLAY", raising=False)
     assert create_viewer(64, 48) is None
+
+
+class _CountingViewer(_FakeViewer):
+    def __init__(self, camera, close_after):
+        super().__init__(camera)
+        self._close_after = close_after
+
+    def imshow(self, frame):
+        super().imshow(frame)
+        if len(self.frames) >= self._close_after:
+            self.is_open = False
+
+
+def test_launch_world_facade(monkeypatch):
+    """pydart2-parity `launch(world)`: steps physics substeps and draws
+    until the window closes (here: after 3 frames)."""
+    import dartenv_tpu.envs.viewer as viewer_mod
+    holder = {}
+
+    def fake_create(width, height, camera=None, title=""):
+        holder["v"] = _CountingViewer(camera, close_after=3)
+        return holder["v"]
+
+    monkeypatch.setattr(viewer_mod, "create_viewer", fake_create)
+    env = gym.make("DartHopper-v1").unwrapped
+    env.reset()
+    world = env.world                    # facade
+    t0 = world.time
+    assert viewer_mod.launch(world) is True
+    assert len(holder["v"].frames) == 3
+    assert world.time > t0               # physics actually advanced
+    env.close()
+
+
+def test_launch_env_and_headless(monkeypatch):
+    import dartenv_tpu.envs.viewer as viewer_mod
+    holder = {}
+
+    def fake_create(width, height, camera=None, title=""):
+        holder["v"] = _CountingViewer(camera, close_after=2)
+        return holder["v"]
+
+    monkeypatch.setattr(viewer_mod, "create_viewer", fake_create)
+    env = gym.make("DartCartPole-v1")    # wrapped: launch unwraps
+    assert viewer_mod.launch(env, max_steps=10) is True
+    assert len(holder["v"].frames) == 2
+    env.close()
+    # headless: returns False without stepping
+    monkeypatch.setattr(viewer_mod, "create_viewer",
+                        lambda *a, **k: None)
+    env2 = gym.make("DartCartPole-v1").unwrapped
+    env2.reset()
+    assert viewer_mod.launch(env2, max_steps=3) is False
+    env2.close()
