@@ -41,6 +41,8 @@ _p.add_argument("--warmup", type=int, default=100,
                 help="substeps of synchronized-impact transient reported separately")
 _p.add_argument("--kmax", type=int, default=0,
                 help=">0: override escalate_kmax")
+_p.add_argument("--iters", type=int, default=0,
+                help=">0: override escalate_iters (tier-1 warm budget)")
 _p.add_argument("--iters2", type=int, default=-1,
                 help=">=0: override escalate_iters2 (0 disables tier 2)")
 _p.add_argument("--pgs_iters", type=int, default=0,
@@ -78,6 +80,8 @@ def main():
         model = with_solver(model, None, escalate_ref=_ARGS.ref)
     if _ARGS.kmax > 0:
         model = with_solver(model, None, escalate_kmax=_ARGS.kmax)
+    if _ARGS.iters > 0:
+        model = with_solver(model, None, escalate_iters=_ARGS.iters)
     if _ARGS.iters2 >= 0:
         model = with_solver(model, None, escalate_iters2=_ARGS.iters2)
     if _ARGS.pgs_iters > 0:
